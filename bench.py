@@ -1,0 +1,90 @@
+"""Benchmark: phonon-timestep updates/sec/chip on the flagship film config.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: the reference (brunohs1993/Nanokappa) sustains ~1.7e5
+particle-timestep updates/s single-thread (BASELINE.md: 10 timesteps of 1e5
+particles per ~5.9 s on the author's machine).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINE_UPDATES_PER_S = 1.7e5
+
+
+def main():
+    import numpy as np
+    import jax
+
+    from nanokappa_tpu.material import synthetic_material
+    from nanokappa_tpu.geometry.domain import build_domain
+    from nanokappa_tpu.geometry.device import build_device_geometry
+    from nanokappa_tpu.sim.state import SimParams, init_state, particle_count
+    from nanokappa_tpu.sim.boundary_tables import build_boundary_tables
+    from nanokappa_tpu.sim.reservoir import build_reservoir_tables
+    from nanokappa_tpu.sim.step import build_step
+
+    n_particles = float(sys.argv[1]) if len(sys.argv) > 1 else 1e6
+    mesh_pts = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    mat = synthetic_material(mesh=(mesh_pts, mesh_pts, mesh_pts))
+    dom = build_domain(
+        geometry="box",
+        dimensions=(5e3, 1e3, 1e3),
+        subvolumes=("slice", 10, 0),
+        bound_pos=(
+            "relative",
+            -0.1, 0.5, 0.5, 1.1, 0.5, 0.5, 0.5, 0.5, -0.1, 0.5, 0.5, 1.1,
+        ),
+        bound_cond=("T", "T", "R", "R", "P"),
+        bound_values=(302.0, 298.0, 0.0, 0.0),
+        connect_pos=("relative", 0.5, -0.1, 0.5, 0.5, 1.1, 0.5),
+    )
+    n_p, rho = particle_count(("total", n_particles), mat, dom)
+    params = SimParams(
+        dt=1.0,
+        n_cap=int(n_p * 1.25),
+        inj_cap=1 << 16,
+        particle_density=rho,
+        n_active_modes=mat.n_active_modes,
+        t_reference=300.0,
+    )
+    geo = build_device_geometry(dom)
+    btab = build_boundary_tables(mat, dom)
+    rtab = build_reservoir_tables(mat, dom, params.dt, rho)
+    state = init_state(mat, dom, geo, params, n_p, temp_dist="linear")
+    run = build_step(geo, mat.device_tables(), btab, rtab, params, n_inner=10)
+
+    # warm up: compile + reach steady boundary-event mix
+    state, out = run(state)
+    state, out = run(state)
+    jax.block_until_ready(state.pos)
+
+    n_outer = 10  # 100 timesteps
+    t0 = time.perf_counter()
+    for _ in range(n_outer):
+        state, out = run(state)
+    jax.block_until_ready(state.pos)
+    elapsed = time.perf_counter() - t0
+
+    n_alive = int(np.asarray(out.N_p))
+    updates_per_s = n_outer * 10 * n_alive / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "phonon-timestep updates/sec/chip (1e6 particles, Si-film-analog)",
+                "value": updates_per_s,
+                "unit": "updates/s",
+                "vs_baseline": updates_per_s / BASELINE_UPDATES_PER_S,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""DeviceGeometry: frozen SoA geometry arrays for the fused device step.
+
+Everything the per-timestep XLA program needs from the domain: triangle soup
+for ray casting, per-facet boundary-condition codes/values, periodic
+translations (reference classes/Population.py:1463-1489), reservoir facet
+surface-sampling tables, and subvolume centres for binning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nanokappa_tpu.geometry.domain import BC, Domain
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DeviceGeometry:
+    # triangle soup (F triangles)
+    tri_origin: jax.Array  # (F,3)
+    tri_e1: jax.Array  # (F,3)
+    tri_e2: jax.Array  # (F,3)
+    tri_facet: jax.Array  # (F,) i32
+
+    # per-facet data (NF facets)
+    facet_normal: jax.Array  # (NF,3) outward unit normals
+    facet_bc: jax.Array  # (NF,) i32 BC enum
+    facet_value: jax.Array  # (NF,) f32 (reservoir T or roughness eta)
+    facet_res: jax.Array  # (NF,) i32 reservoir index or -1
+    facet_rough: jax.Array  # (NF,) i32 rough-facet index or -1
+    periodic_shift: jax.Array  # (NF,3) translation to the paired facet
+    periodic_pair: jax.Array  # (NF,) i32 paired facet id (-1 if none)
+
+    # reservoir surface sampling: padded triangle tables per reservoir
+    res_tri_idx: jax.Array  # (R,K) i32 triangle ids (padded with first id)
+    res_tri_cdf: jax.Array  # (R,K) f32 cumulative area fraction (last = 1)
+    res_facet: jax.Array  # (R,) i32 facet id of each reservoir
+    res_temperature: jax.Array  # (R,) f32
+    res_area: jax.Array  # (R,) f32
+    res_normal: jax.Array  # (R,3) outward normal of each reservoir facet
+
+    # subvolumes
+    subvol_center: jax.Array  # (SV,3)
+    subvol_volume: jax.Array  # (SV,)
+    bounds: jax.Array  # (2,3)
+
+    n_facets: int = field(metadata=dict(static=True))
+    n_reservoirs: int = field(metadata=dict(static=True))
+    n_rough: int = field(metadata=dict(static=True))
+    n_subvols: int = field(metadata=dict(static=True))
+    subvol_type: str = field(metadata=dict(static=True))
+    slice_axis: int = field(metadata=dict(static=True))
+    volume: float = field(metadata=dict(static=True))
+
+
+def build_device_geometry(domain: Domain, dtype=jnp.float32) -> DeviceGeometry:
+    mesh = domain.mesh
+    nf = mesh.n_facets
+
+    tri = mesh.tri
+    tri_origin = tri[:, 0]
+    tri_e1 = tri[:, 1] - tri[:, 0]
+    tri_e2 = tri[:, 2] - tri[:, 0]
+
+    facet_res = np.full(nf, -1, dtype=np.int32)
+    facet_res[domain.res_facets] = np.arange(len(domain.res_facets))
+    facet_rough = np.full(nf, -1, dtype=np.int32)
+    facet_rough[domain.rough_facets] = np.arange(len(domain.rough_facets))
+
+    shifts = np.zeros((nf, 3))
+    pairs = np.full(nf, -1, dtype=np.int32)
+    for a, b in domain.connected_facets:
+        shifts[a] = mesh.facet_centroids[b] - mesh.facet_centroids[a]
+        shifts[b] = mesh.facet_centroids[a] - mesh.facet_centroids[b]
+        pairs[a], pairs[b] = b, a
+
+    # reservoir triangle tables
+    R = len(domain.res_facets)
+    if R > 0:
+        K = max(len(mesh.facets[f]) for f in domain.res_facets)
+        res_tri_idx = np.zeros((R, K), dtype=np.int32)
+        res_tri_cdf = np.ones((R, K))
+        for i, f in enumerate(domain.res_facets):
+            fs = mesh.facets[f]
+            res_tri_idx[i, : len(fs)] = fs
+            res_tri_idx[i, len(fs) :] = fs[0]
+            cdf = np.cumsum(mesh.face_areas[fs])
+            cdf = cdf / cdf[-1]
+            res_tri_cdf[i, : len(fs)] = cdf
+    else:
+        res_tri_idx = np.zeros((0, 1), dtype=np.int32)
+        res_tri_cdf = np.ones((0, 1))
+
+    return DeviceGeometry(
+        tri_origin=jnp.asarray(tri_origin, dtype=dtype),
+        tri_e1=jnp.asarray(tri_e1, dtype=dtype),
+        tri_e2=jnp.asarray(tri_e2, dtype=dtype),
+        tri_facet=jnp.asarray(mesh.face_facet, dtype=jnp.int32),
+        facet_normal=jnp.asarray(mesh.facet_normals, dtype=dtype),
+        facet_bc=jnp.asarray(domain.bound_cond, dtype=jnp.int32),
+        facet_value=jnp.asarray(np.nan_to_num(domain.facet_values), dtype=dtype),
+        facet_res=jnp.asarray(facet_res),
+        facet_rough=jnp.asarray(facet_rough),
+        periodic_shift=jnp.asarray(shifts, dtype=dtype),
+        periodic_pair=jnp.asarray(pairs),
+        res_tri_idx=jnp.asarray(res_tri_idx),
+        res_tri_cdf=jnp.asarray(res_tri_cdf, dtype=dtype),
+        res_facet=jnp.asarray(domain.res_facets, dtype=jnp.int32),
+        res_temperature=jnp.asarray(
+            np.nan_to_num(domain.res_values), dtype=dtype
+        ),
+        res_area=jnp.asarray(
+            mesh.facet_areas[domain.res_facets], dtype=dtype
+        ),
+        res_normal=jnp.asarray(
+            mesh.facet_normals[domain.res_facets], dtype=dtype
+        ),
+        subvol_center=jnp.asarray(domain.subvol_center, dtype=dtype),
+        subvol_volume=jnp.asarray(domain.subvol_volume, dtype=dtype),
+        bounds=jnp.asarray(mesh.bounds, dtype=dtype),
+        n_facets=nf,
+        n_reservoirs=R,
+        n_rough=len(domain.rough_facets),
+        n_subvols=domain.n_of_subvols,
+        subvol_type=domain.subvol_type,
+        slice_axis=domain.slice_axis,
+        volume=float(mesh.volume),
+    )

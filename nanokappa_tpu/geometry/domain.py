@@ -1,0 +1,275 @@
+"""Domain assembly: mesh + boundary conditions + subvolumes (host side).
+
+Mirrors the behaviour of the reference `Geometry` class
+(classes/Geometry.py:35-766): primitive generation / STL import, transform,
+boundary-condition facet assignment from probe points with the
+"last condition is the default" rule, periodic-facet congruence validation,
+and subvolume partitioning (slice / grid / voronoi).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import IntEnum
+
+import numpy as np
+
+from nanokappa_tpu.geometry.mesh import TriMesh
+from nanokappa_tpu.geometry.primitives import make_primitive
+
+
+class BC(IntEnum):
+    NONE = 0
+    TEMPERATURE = 1  # 'T' isothermal reservoir
+    PERIODIC = 2  # 'P'
+    ROUGH = 3  # 'R' rough wall (specular/diffuse)
+    FLUX = 4  # 'F' heat-flux reservoir (plumbed, not generatable — parity
+    #            with the reference, argument_parser.py:48, Population.py:499)
+
+
+_BC_FROM_STR = {"T": BC.TEMPERATURE, "P": BC.PERIODIC, "R": BC.ROUGH, "F": BC.FLUX}
+
+
+@dataclass
+class Domain:
+    mesh: TriMesh
+    bound_cond: np.ndarray  # (NF,) BC enum value per facet
+    facet_values: np.ndarray  # (NF,) float (T for reservoirs, eta for rough)
+    connected_facets: np.ndarray  # (C,2) periodic facet pairs
+    subvol_type: str  # 'slice' | 'grid' | 'voronoi'
+    slice_axis: int
+    subvol_center: np.ndarray  # (SV,3)
+    subvol_volume: np.ndarray  # (SV,)
+    subvol_connections: np.ndarray  # (NC,2)
+    grid: np.ndarray | None = None  # (3,) for grid subvolumes
+
+    # derived
+    res_facets: np.ndarray = field(init=False)
+    rough_facets: np.ndarray = field(init=False)
+
+    def __post_init__(self):
+        self.res_facets = np.nonzero(
+            (self.bound_cond == BC.TEMPERATURE) | (self.bound_cond == BC.FLUX)
+        )[0]
+        self.rough_facets = np.nonzero(self.bound_cond == BC.ROUGH)[0]
+        self.n_of_subvols = self.subvol_center.shape[0]
+        self.n_of_reservoirs = len(self.res_facets)
+        self.volume = self.mesh.volume
+        self.bounds = self.mesh.bounds
+
+    @property
+    def res_values(self) -> np.ndarray:
+        return self.facet_values[self.res_facets]
+
+    @property
+    def rough_values(self) -> np.ndarray:
+        return self.facet_values[self.rough_facets]
+
+    def periodic_shift(self, facet: int) -> np.ndarray:
+        """Translation applied to a particle crossing periodic `facet`
+        (reference classes/Population.py:1476-1477: centroid difference)."""
+        pair = self._pair_of(facet)
+        return (
+            self.mesh.facet_centroids[pair] - self.mesh.facet_centroids[facet]
+        )
+
+    def _pair_of(self, facet: int) -> int:
+        for a, b in self.connected_facets:
+            if a == facet:
+                return int(b)
+            if b == facet:
+                return int(a)
+        raise ValueError(f"facet {facet} has no periodic pair")
+
+
+def _relative_to_absolute(points: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    return points * np.ptp(bounds, axis=0) + bounds[0]
+
+
+def build_domain(
+    geometry: str = "box",
+    dimensions=(10e3, 1e3, 1e3),
+    scale=(1, 1, 1),
+    rotation=None,  # (angles, order)
+    subvolumes=("slice", 10, 0),
+    bound_pos=("relative",),
+    bound_cond=("T", "T", "R", "R", "P"),
+    bound_values=(302.0, 298.0, 0.0, 0.0),
+    connect_pos=("relative",),
+    rng: np.random.Generator | None = None,
+) -> Domain:
+    rng = rng or np.random.default_rng(0)
+
+    # ---- mesh ---------------------------------------------------------------
+    if geometry.endswith(".stl"):
+        from nanokappa_tpu.geometry.stl import load_stl
+
+        mesh = load_stl(geometry)
+    else:
+        mesh = make_primitive(geometry, dimensions)
+
+    mesh.rezero()
+    mesh.vertices = mesh.vertices * np.asarray(scale, dtype=float)
+    if rotation is not None:
+        from scipy.spatial.transform import Rotation as Rot
+
+        angles, order = rotation
+        mesh.vertices = Rot.from_euler(order, angles, degrees=True).apply(mesh.vertices)
+    mesh.update()
+    mesh.rezero()
+
+    nf = mesh.n_facets
+
+    # ---- boundary conditions ------------------------------------------------
+    # (reference classes/Geometry.py:652-709: probe points pick facets; the
+    # last condition in --bound_cond applies to every unspecified facet)
+    kind = bound_pos[0]
+    pts = np.asarray(bound_pos[1:], dtype=float).reshape(-1, 3)
+    if kind == "relative":
+        pts = _relative_to_absolute(pts, mesh.bounds)
+    elif kind != "absolute":
+        raise ValueError("bound_pos must start with 'relative' or 'absolute'")
+
+    cond = np.full(nf, _BC_FROM_STR[bound_cond[-1]], dtype=int)
+    values = np.full(nf, np.nan)
+    if _BC_FROM_STR[bound_cond[-1]] in (BC.TEMPERATURE, BC.FLUX, BC.ROUGH):
+        values[:] = bound_values[-1]
+
+    picked = mesh.closest_facet(pts) if len(pts) else np.zeros(0, dtype=int)
+    vi = 0
+    for j, fct in enumerate(picked):
+        cond[fct] = _BC_FROM_STR[bound_cond[j]]
+        if cond[fct] != BC.PERIODIC:
+            values[fct] = bound_values[vi]
+            vi += 1
+
+    # ---- periodic connections ----------------------------------------------
+    # (reference classes/Geometry.py:711-766)
+    connected = np.zeros((0, 2), dtype=int)
+    if len(connect_pos) > 1:
+        cpts = np.asarray(connect_pos[1:], dtype=float).reshape(-1, 3)
+        if connect_pos[0] == "relative":
+            cpts = _relative_to_absolute(cpts, mesh.bounds)
+        connected = mesh.closest_facet(cpts).reshape(-1, 2)
+        for a, b in connected:
+            na, nb = mesh.facet_normals[a], mesh.facet_normals[b]
+            if np.abs(na + nb).max() > 1e-6:
+                raise ValueError(f"connected facets {a},{b}: normals not antiparallel")
+            if not np.isclose(
+                mesh.facet_areas[a], mesh.facet_areas[b], rtol=1e-6
+            ):
+                raise ValueError(f"connected facets {a},{b}: areas differ")
+            # congruence: both facets must coincide after the centroid shift
+            shift = mesh.facet_centroids[b] - mesh.facet_centroids[a]
+            va = np.unique(
+                np.round(mesh.tri[mesh.facets[a]].reshape(-1, 3) + shift, 5), axis=0
+            )
+            vb = np.unique(np.round(mesh.tri[mesh.facets[b]].reshape(-1, 3), 5), axis=0)
+            if va.shape != vb.shape or not np.allclose(va, vb, atol=1e-4):
+                raise ValueError(f"connected facets {a},{b}: shapes not congruent")
+            cond[a] = BC.PERIODIC
+            cond[b] = BC.PERIODIC
+
+    # every periodic facet needs a pair
+    per = np.nonzero(cond == BC.PERIODIC)[0]
+    for f in per:
+        if f not in connected:
+            raise ValueError(f"periodic facet {f} has no connection (--connect_pos)")
+
+    # ---- subvolumes ----------------------------------------------------------
+    sv_type = str(subvolumes[0])
+    grid = None
+    if sv_type == "grid":
+        grid = np.asarray(subvolumes[1:4], dtype=int)
+        if (grid == 1).sum() == 2:  # degenerate grid -> slice (Geometry.py:497-506)
+            sv_type = "slice"
+            axis = int(np.nonzero(grid != 1)[0][0])
+            subvolumes = ("slice", int(grid[axis]), axis)
+            grid = None
+
+    if sv_type == "slice":
+        n_sv = int(subvolumes[1])
+        axis = int(subvolumes[2])
+        centers = np.tile(mesh.bounds.mean(axis=0), (n_sv, 1))
+        arr = (np.arange(n_sv) + 0.5) / n_sv
+        centers[:, axis] = arr * np.ptp(mesh.bounds[:, axis]) + mesh.bounds[0, axis]
+        sv_connections = np.stack(
+            [np.arange(n_sv - 1), np.arange(1, n_sv)], axis=1
+        )
+        if geometry in ("box", "cuboid"):
+            volumes = np.full(n_sv, mesh.volume / n_sv)
+        else:
+            volumes = _mc_subvol_volume(mesh, centers, rng)
+    elif sv_type == "grid":
+        from nanokappa_tpu.geometry.subvolumes import grid_centers
+
+        axis = 0
+        centers = grid_centers(mesh, grid)
+        volumes = _mc_subvol_volume(mesh, centers, rng)
+        sv_connections = _nearest_connections(centers)
+    elif sv_type == "voronoi":
+        from nanokappa_tpu.geometry.subvolumes import lloyd_centers
+
+        axis = 0
+        n_sv = int(subvolumes[1])
+        centers = lloyd_centers(mesh, n_sv, rng)
+        volumes = _mc_subvol_volume(mesh, centers, rng)
+        sv_connections = _nearest_connections(centers)
+    else:
+        raise ValueError(f"invalid subvolume type '{sv_type}'")
+
+    order = np.lexsort((centers[:, 2], centers[:, 1], centers[:, 0]))
+    centers = centers[order]
+
+    return Domain(
+        mesh=mesh,
+        bound_cond=cond,
+        facet_values=values,
+        connected_facets=connected,
+        subvol_type=sv_type,
+        slice_axis=axis,
+        subvol_center=centers,
+        subvol_volume=volumes,
+        subvol_connections=sv_connections,
+        grid=grid,
+    )
+
+
+def _mc_subvol_volume(
+    mesh: TriMesh, centers: np.ndarray, rng, tol: float = 1e-3
+) -> np.ndarray:
+    """Monte Carlo subvolume volumes via nearest-centre binning
+    (reference classes/Geometry.py:605-645)."""
+    n_sv = centers.shape[0]
+    counts = np.zeros(n_sv)
+    total = 0
+    err = np.ones(n_sv)
+    cover = np.zeros(n_sv)
+    while err.max() > tol and total < 2**22:
+        s = mesh.sample_volume(4096, rng)
+        d = np.linalg.norm(s[:, None, :] - centers[None], axis=-1)
+        r = np.argmin(d, axis=1)
+        counts += np.bincount(r, minlength=n_sv)
+        total += len(s)
+        new_cover = counts / total
+        with np.errstate(divide="ignore", invalid="ignore"):
+            err = np.abs((new_cover - cover) / np.where(cover == 0, 1, cover))
+            err[new_cover == 0] = 0
+        cover = new_cover
+    return cover * mesh.volume
+
+
+def _nearest_connections(centers: np.ndarray) -> np.ndarray:
+    """Connect each centre to its natural neighbours (midpoint closest to both
+    ends) — a simplified version of the reference's occlusion-pruned
+    connection graph (classes/Geometry.py:961-1052)."""
+    n = centers.shape[0]
+    pairs = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            mid = (centers[i] + centers[j]) / 2
+            d = np.linalg.norm(centers - mid, axis=1)
+            dij = np.linalg.norm(centers[i] - mid)
+            if np.all(d >= dij - 1e-9):
+                pairs.append((i, j))
+    return np.asarray(pairs, dtype=int).reshape(-1, 2)

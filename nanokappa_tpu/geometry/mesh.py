@@ -1,0 +1,266 @@
+"""Host-side triangle mesh engine (NumPy; runs once at setup).
+
+The reference implements a from-scratch mesh class with facet grouping,
+winding repair, containment, sampling and ray casting
+(classes/Mesh.py:20-975). Here the host mesh only *prepares* static data:
+coplanar-facet grouping, outward orientation, areas/normals/volume,
+point containment and sampling. Per-timestep ray casting happens on device
+(ops/raycast.py) against the SoA triangle arrays this class exports.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+TOL = 1e-8
+
+
+class TriMesh:
+    def __init__(self, vertices: np.ndarray, faces: np.ndarray):
+        self.vertices = np.asarray(vertices, dtype=float)
+        self.faces = np.asarray(faces, dtype=int)
+        self.update()
+
+    # -- core properties -----------------------------------------------------
+
+    def update(self):
+        v = self.vertices
+        f = self.faces
+        self.tri = v[f]  # (F,3,3)
+        e1 = self.tri[:, 1] - self.tri[:, 0]
+        e2 = self.tri[:, 2] - self.tri[:, 0]
+        cr = np.cross(e1, e2)
+        self.face_areas = 0.5 * np.linalg.norm(cr, axis=1)
+        with np.errstate(invalid="ignore"):
+            self.face_normals = cr / np.maximum(np.linalg.norm(cr, axis=1), 1e-300)[:, None]
+        self.face_centroids = self.tri.mean(axis=1)
+        self.bounds = np.stack([v.min(axis=0), v.max(axis=0)])
+        self._orient_outward()
+        self._group_facets()
+        self._compute_volume()
+
+    def _compute_volume(self):
+        """Signed volume by divergence theorem over oriented faces
+        (reference computes it from the Delaunay tetrahedralisation,
+        classes/Mesh.py:538-568; the surface integral is equivalent for a
+        closed outward-oriented mesh)."""
+        a, b, c = self.tri[:, 0], self.tri[:, 1], self.tri[:, 2]
+        self.volume = float(np.einsum("ij,ij->i", a, np.cross(b, c)).sum() / 6.0)
+        if self.volume < 0:  # globally inverted winding
+            self.faces = self.faces[:, ::-1]
+            self.update()
+            return
+        w = np.einsum("ij,ij->i", a, np.cross(b, c))
+        cm = ((a + b + c) / 4.0 * w[:, None]).sum(axis=0)
+        self.center_mass = cm / max(6.0 * self.volume, 1e-300)
+
+    def _orient_outward(self):
+        """Flip faces whose normal points inward.
+
+        Uses ray-parity like the reference winding check (classes/Mesh.py:114-160):
+        a face normal is outward if a ray from just outside the face along the
+        normal crosses the surface an even number of times.
+        """
+        eps = 1e-6 * max(np.ptp(self.bounds, axis=0).max(), 1.0)
+        origins = self.face_centroids + self.face_normals * eps
+        crossings = self._count_crossings(origins, self.face_normals)
+        flip = crossings % 2 == 1  # odd -> normal points into the solid
+        if np.any(flip):
+            self.faces[flip] = self.faces[flip][:, ::-1]
+            v = self.vertices
+            self.tri = v[self.faces]
+            e1 = self.tri[:, 1] - self.tri[:, 0]
+            e2 = self.tri[:, 2] - self.tri[:, 0]
+            cr = np.cross(e1, e2)
+            with np.errstate(invalid="ignore"):
+                self.face_normals = cr / np.maximum(
+                    np.linalg.norm(cr, axis=1), 1e-300
+                )[:, None]
+
+    def _count_crossings(self, origins: np.ndarray, directions: np.ndarray) -> np.ndarray:
+        """Number of ray-surface intersections (Moller-Trumbore, all pairs)."""
+        a = self.tri[:, 0]
+        e1 = self.tri[:, 1] - self.tri[:, 0]
+        e2 = self.tri[:, 2] - self.tri[:, 0]
+        n_hits = np.zeros(origins.shape[0], dtype=int)
+        stride = 4096
+        for s in range(0, origins.shape[0], stride):
+            o = origins[s : s + stride]
+            d = directions[s : s + stride]
+            h = np.cross(d[:, None, :], e2[None, :, :])  # (n,F,3)
+            det = np.einsum("fj,nfj->nf", e1, h)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                inv = 1.0 / det
+                sv = o[:, None, :] - a[None, :, :]
+                u = np.einsum("nfj,nfj->nf", sv, h) * inv
+                q = np.cross(sv, e1[None, :, :])
+                w = np.einsum("nj,nfj->nf", d, q) * inv
+                t = np.einsum("fj,nfj->nf", e2, q) * inv
+            with np.errstate(invalid="ignore"):
+                hit = (
+                    (np.abs(det) > 1e-12)
+                    & (u >= -TOL)
+                    & (w >= -TOL)
+                    & (u + w <= 1 + TOL)
+                    & (t > TOL)
+                )
+            n_hits[s : s + stride] = hit.sum(axis=1)
+        return n_hits
+
+    def _group_facets(self):
+        """Group coplanar connected faces into facets
+        (reference classes/Mesh.py:244-308)."""
+        F = len(self.faces)
+        # plane key: normal (rounded) + offset
+        off = np.einsum("ij,ij->i", self.face_normals, self.tri[:, 0])
+        keys = np.round(np.concatenate([self.face_normals, off[:, None]], axis=1), 6)
+        _, inv = np.unique(keys, axis=0, return_inverse=True)
+
+        # connectivity via shared edges within the same plane
+        parent = np.arange(F)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        edge_map: dict[tuple[int, int], int] = {}
+        for fi, face in enumerate(self.faces):
+            for k in range(3):
+                e = (face[k], face[(k + 1) % 3])
+                e = (min(e), max(e))
+                if e in edge_map:
+                    fj = edge_map[e]
+                    if inv[fi] == inv[fj]:
+                        parent[find(fi)] = find(fj)
+                else:
+                    edge_map[e] = fi
+        roots = np.array([find(i) for i in range(F)])
+        _, self.face_facet = np.unique(roots, return_inverse=True)
+        self.n_facets = int(self.face_facet.max()) + 1
+
+        self.facets = [np.nonzero(self.face_facet == i)[0] for i in range(self.n_facets)]
+        self.facet_normals = np.stack(
+            [self.face_normals[fs[0]] for fs in self.facets]
+        )
+        self.facet_areas = np.array(
+            [self.face_areas[fs].sum() for fs in self.facets]
+        )
+        self.facet_centroids = np.stack(
+            [
+                (self.face_centroids[fs] * self.face_areas[fs, None]).sum(axis=0)
+                / self.face_areas[fs].sum()
+                for fs in self.facets
+            ]
+        )
+
+    # -- queries ---------------------------------------------------------------
+
+    def contains(self, points: np.ndarray) -> np.ndarray:
+        """Ray-parity point containment (reference classes/Mesh.py:516-536)."""
+        points = np.atleast_2d(points)
+        inb = np.all(
+            (points >= self.bounds[0] - TOL) & (points <= self.bounds[1] + TOL), axis=1
+        )
+        out = np.zeros(points.shape[0], dtype=bool)
+        if np.any(inb):
+            d = np.tile(
+                np.array([0.5773502692, 0.5773502692, 0.5773502692]), (int(inb.sum()), 1)
+            )
+            out[inb] = self._count_crossings(points[inb], d) % 2 == 1
+        return out
+
+    def sample_volume(self, n: int, rng: np.random.Generator | None = None) -> np.ndarray:
+        """Uniform interior samples by bbox rejection
+        (reference samples Delaunay simplices, classes/Mesh.py:890-921)."""
+        rng = rng or np.random.default_rng()
+        lo, hi = self.bounds
+        out = np.zeros((0, 3))
+        while out.shape[0] < n:
+            cand = rng.uniform(lo, hi, size=(max(2 * n, 1024), 3))
+            cand = cand[self.contains(cand)]
+            out = np.vstack([out, cand])
+        return out[:n]
+
+    def sample_surface(
+        self, n: int, facet: int, rng: np.random.Generator | None = None
+    ) -> np.ndarray:
+        """Area-weighted uniform samples on one facet
+        (reference classes/Mesh.py:923-951)."""
+        rng = rng or np.random.default_rng()
+        fs = self.facets[facet]
+        areas = self.face_areas[fs]
+        probs = areas / areas.sum()
+        tri_idx = rng.choice(fs, size=n, p=probs)
+        r1, r2 = rng.uniform(size=(2, n))
+        su = np.sqrt(r1)
+        b = np.stack([1 - su, su * (1 - r2), su * r2], axis=1)  # (n,3)
+        return np.einsum("nk,nkj->nj", b, self.tri[tri_idx])
+
+    def closest_facet(self, points: np.ndarray) -> np.ndarray:
+        """Index of the facet nearest to each point
+        (reference classes/Mesh.py:686-744 via closest face)."""
+        points = np.atleast_2d(points)
+        d = _point_triangle_distance(points, self.tri)  # (N,F)
+        face = np.argmin(d, axis=1)
+        return self.face_facet[face]
+
+    def rezero(self):
+        self.vertices = self.vertices - self.vertices.min(axis=0)
+        self.update()
+
+
+def _point_triangle_distance(p: np.ndarray, tri: np.ndarray) -> np.ndarray:
+    """Exact point-to-triangle distances, (N, F). Ericson's real-time method."""
+    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+    ab = b - a
+    ac = c - a
+    N, F = p.shape[0], tri.shape[0]
+    ap = p[:, None, :] - a[None, :, :]  # (N,F,3)
+    d1 = np.einsum("fj,nfj->nf", ab, ap)
+    d2 = np.einsum("fj,nfj->nf", ac, ap)
+    bp = p[:, None, :] - b[None, :, :]
+    d3 = np.einsum("fj,nfj->nf", ab, bp)
+    d4 = np.einsum("fj,nfj->nf", ac, bp)
+    cp = p[:, None, :] - c[None, :, :]
+    d5 = np.einsum("fj,nfj->nf", ab, cp)
+    d6 = np.einsum("fj,nfj->nf", ac, cp)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+
+    denom = np.maximum(va + vb + vc, 1e-300)
+    v = vb / denom
+    w = vc / denom
+    # interior projection
+    closest = a[None] + v[..., None] * ab[None] + w[..., None] * ac[None]
+
+    # edge/vertex regions
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_ab = np.clip(d1 / np.where(d1 - d3 == 0, 1e-300, d1 - d3), 0, 1)
+        t_ac = np.clip(d2 / np.where(d2 - d6 == 0, 1e-300, d2 - d6), 0, 1)
+        t_bc = np.clip(
+            (d4 - d3) / np.where((d4 - d3) + (d5 - d6) == 0, 1e-300, (d4 - d3) + (d5 - d6)),
+            0,
+            1,
+        )
+
+    pt_a = np.broadcast_to(a[None], (N, F, 3))
+    on_ab = a[None] + t_ab[..., None] * ab[None]
+    on_ac = a[None] + t_ac[..., None] * ac[None]
+    on_bc = b[None] + t_bc[..., None] * (c - b)[None]
+
+    closest = np.where((vc <= 0)[..., None] & (d1 >= 0)[..., None] & (d3 <= 0)[..., None], on_ab, closest)
+    closest = np.where((vb <= 0)[..., None] & (d2 >= 0)[..., None] & (d6 <= 0)[..., None], on_ac, closest)
+    closest = np.where(
+        (va <= 0)[..., None] & ((d4 - d3) >= 0)[..., None] & ((d5 - d6) >= 0)[..., None],
+        on_bc,
+        closest,
+    )
+    closest = np.where((d1 <= 0)[..., None] & (d2 <= 0)[..., None], pt_a, closest)
+    closest = np.where((d3 >= 0)[..., None] & (d4 <= d3)[..., None], np.broadcast_to(b[None], (N, F, 3)), closest)
+    closest = np.where((d6 >= 0)[..., None] & (d5 <= d6)[..., None], np.broadcast_to(c[None], (N, F, 3)), closest)
+
+    return np.linalg.norm(p[:, None, :] - closest, axis=-1)

@@ -1,0 +1,51 @@
+"""Subvolume centre generation: grid placement and Lloyd (voronoi) iteration.
+
+Reference: grid centres classes/Geometry.py:494-539; Lloyd-type iteration
+routines/subvolumes.py:39-98 (sample volume, assign to nearest centre, move
+centres to centroids, refine until displacement is negligible).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nanokappa_tpu.geometry.mesh import TriMesh
+
+
+def grid_centers(mesh: TriMesh, grid: np.ndarray) -> np.ndarray:
+    nx, ny, nz = (int(g) for g in grid)
+    xs = (np.arange(nx) + 0.5) / nx
+    ys = (np.arange(ny) + 0.5) / ny
+    zs = (np.arange(nz) + 0.5) / nz
+    g = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), axis=-1).reshape(-1, 3)
+    centers = g * np.ptp(mesh.bounds, axis=0) + mesh.bounds[0]
+    return centers[mesh.contains(centers)]
+
+
+def lloyd_centers(
+    mesh: TriMesh,
+    n: int,
+    rng: np.random.Generator | None = None,
+    max_iter: int = 60,
+    tol: float = 1e-3,
+) -> np.ndarray:
+    """Centroidal-Voronoi centres by Lloyd iteration on volume samples."""
+    rng = rng or np.random.default_rng(0)
+    centers = mesh.sample_volume(n, rng)
+    n_samples = 1 << 14
+    scale = np.ptp(mesh.bounds, axis=0).max()
+    for _ in range(max_iter):
+        s = mesh.sample_volume(n_samples, rng)
+        d = np.linalg.norm(s[:, None, :] - centers[None], axis=-1)
+        r = np.argmin(d, axis=1)
+        new = centers.copy()
+        for i in range(n):
+            sel = r == i
+            if sel.any():
+                new[i] = s[sel].mean(axis=0)
+        disp = np.linalg.norm(new - centers, axis=1).max()
+        centers = new
+        if disp < tol * scale:
+            break
+        n_samples = min(n_samples * 2, 1 << 20)
+    return centers

@@ -52,11 +52,19 @@ def _si_like_crystal() -> Crystal:
 
 
 def _dispersion(k_cart: np.ndarray, k_max: float):
-    """omega (Q,J) and group velocity (Q,J,3) from folded cartesian k."""
+    """omega (Q,J) and group velocity (Q,J,3) from folded cartesian k.
+
+    At Brillouin-zone faces the group-velocity component perpendicular to the
+    face is zero (omega is periodic in k, so its normal derivative vanishes
+    there); without this, time reversal v(-k) = -v(k) breaks for zone-face
+    modes and mirror-reflection correspondences would not exist."""
     knorm = np.linalg.norm(k_cart, axis=1)  # (Q,)
     s = np.clip(knorm / k_max, 0.0, 1.0)
     with np.errstate(invalid="ignore", divide="ignore"):
         khat = np.where(knorm[:, None] > 1e-12, k_cart / np.maximum(knorm, 1e-300)[:, None], 0.0)
+    k_face = np.pi / _A_LATTICE  # cubic lattice: zone faces at |k_i| = pi/a
+    on_face = np.abs(np.abs(k_cart) - k_face) < 1e-9 * k_face  # (Q,3)
+    khat = np.where(on_face, 0.0, khat)
 
     omegas, vels = [], []
     for kind, par in _BRANCHES:

@@ -1,0 +1,143 @@
+"""Subvolume binning, energy/temperature refresh and heat flux.
+
+Replaces the reference's per-subvolume Python loops and scipy interpolators
+(classes/Population.py:671-747, classes/Geometry.py:1198-1213) with
+segment sums and table lookups inside the fused step:
+
+  * subvolume id: slice -> index arithmetic; general -> argmin distance,
+    with the |x|^2 - 2 x.c + |c|^2 expansion so the cross term is a matmul
+    that lands on the MXU,
+  * subvolume energy: segment_sum of hbar*omega*dn with 'mean' or 'fixed'
+    normalisation (classes/Population.py:704-728),
+  * T = f(E): searchsorted + lerp over the monotone energy table
+    (classes/Phonon.py:372-390),
+  * particle temperatures: linear interpolation along the slice axis or
+    nearest-centre (classes/Population.py:685-702).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from nanokappa_tpu.constants import HBAR
+from nanokappa_tpu.geometry.device import DeviceGeometry
+from nanokappa_tpu.material.tables import MaterialTables
+from nanokappa_tpu.sim.bose import occupation_delta_T
+
+
+def subvol_id(geo: DeviceGeometry, pos: jax.Array) -> jax.Array:
+    if geo.subvol_type == "slice":
+        ax = geo.slice_axis
+        lo = geo.bounds[0, ax]
+        length = (geo.bounds[1, ax] - geo.bounds[0, ax]) / geo.n_subvols
+        i = jnp.floor((pos[:, ax] - lo) / length).astype(jnp.int32)
+        return jnp.clip(i, 0, geo.n_subvols - 1)
+    c = geo.subvol_center  # (SV,3)
+    # dist^2 = |x|^2 - 2 x.c + |c|^2 ; only the relative ordering matters
+    cross = pos @ c.T  # (N,SV) matmul -> MXU
+    d2 = (c**2).sum(axis=1)[None, :] - 2.0 * cross
+    return jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+
+def interp_T_particles(
+    geo: DeviceGeometry, T_sv: jax.Array, pos: jax.Array, sv: jax.Array, kind: str
+) -> jax.Array:
+    """Temperature at particle positions from subvolume temperatures."""
+    if kind == "linear" and geo.subvol_type == "slice":
+        ax = geo.slice_axis
+        centers = geo.subvol_center[:, ax]  # sorted along axis by construction
+        x = pos[:, ax]
+        i = jnp.clip(jnp.searchsorted(centers, x) - 1, 0, geo.n_subvols - 2)
+        w = (x - centers[i]) / (centers[i + 1] - centers[i])
+        return T_sv[i] * (1 - w) + T_sv[i + 1] * w  # linear extrapolation at ends
+    # nearest
+    return T_sv[sv]
+
+
+def lookup_T_of_E(mat: MaterialTables, E: jax.Array) -> jax.Array:
+    i = jnp.clip(jnp.searchsorted(mat.E_grid, E) - 1, 0, mat.E_grid.shape[0] - 2)
+    w = (E - mat.E_grid[i]) / (mat.E_grid[i + 1] - mat.E_grid[i])
+    w = jnp.clip(w, 0.0, 1.0)
+    return mat.T_grid[i] * (1 - w) + mat.T_grid[i + 1] * w
+
+
+def lookup_E_of_T(mat: MaterialTables, T: jax.Array) -> jax.Array:
+    i = jnp.clip(jnp.searchsorted(mat.T_grid, T) - 1, 0, mat.T_grid.shape[0] - 2)
+    w = (T - mat.T_grid[i]) / (mat.T_grid[i + 1] - mat.T_grid[i])
+    w = jnp.clip(w, 0.0, 1.0)
+    return mat.E_grid[i] * (1 - w) + mat.E_grid[i + 1] * w
+
+
+def particle_energies(
+    mat: MaterialTables,
+    mode: jax.Array,
+    dev: jax.Array,
+    alive: jax.Array,
+    T_local: jax.Array,
+    t_reference: float,
+) -> jax.Array:
+    """e_p = hbar*omega*(n - n0(T_local)) per particle, eV
+    (classes/Population.py:704-713 with reference_temp='local')."""
+    omega = mat.omega[mode]
+    dn = dev - occupation_delta_T(T_local, t_reference, omega)
+    return jnp.where(alive, HBAR * omega * dn, 0.0)
+
+
+def bin_energy(
+    geo: DeviceGeometry,
+    mat: MaterialTables,
+    energies: jax.Array,
+    sv: jax.Array,
+    alive: jax.Array,
+    energy_normal: str,
+    particle_density: float,
+    psum=lambda x: x,
+):
+    """Subvolume energy density (eV/A^3) relative to the local reference.
+
+    Returns (E_dev_sv, Np_sv). Reference classes/Population.py:714-728.
+    Under particle-axis sharding `psum` all-reduces the raw segment sums over
+    ICI before normalisation — the only cross-particle communication in the
+    entire algorithm."""
+    n_sv = geo.n_subvols
+    seg = jnp.where(alive, sv, n_sv)  # dead -> overflow bucket
+    e_sv = psum(jax.ops.segment_sum(energies, seg, num_segments=n_sv + 1)[:n_sv])
+    np_sv = psum(
+        jax.ops.segment_sum(alive.astype(jnp.int32), seg, num_segments=n_sv + 1)[
+            :n_sv
+        ]
+    )
+    if energy_normal == "fixed":
+        norm = mat.n_active_modes / (particle_density * geo.subvol_volume)
+    else:  # 'mean'
+        norm = mat.n_active_modes / jnp.maximum(np_sv, 1).astype(e_sv.dtype)
+        norm = jnp.where(np_sv == 0, 0.0, norm)
+    e_sv = e_sv * norm / (mat.n_qpoints * mat.volume_unitcell)
+    return e_sv, np_sv
+
+
+def bin_heat_flux(
+    geo: DeviceGeometry,
+    mat: MaterialTables,
+    energies: jax.Array,
+    mode: jax.Array,
+    sv: jax.Array,
+    alive: jax.Array,
+    np_sv: jax.Array,
+    energy_normal: str,
+    particle_density: float,
+    psum=lambda x: x,
+) -> jax.Array:
+    """Subvolume heat flux (eV/ps/A^2, converted by caller)
+    (classes/Population.py:730-747)."""
+    n_sv = geo.n_subvols
+    seg = jnp.where(alive, sv, n_sv)
+    ev = energies[:, None] * mat.velocity[mode]  # (N,3)
+    phi = psum(jax.ops.segment_sum(ev, seg, num_segments=n_sv + 1)[:n_sv])
+    if energy_normal == "fixed":
+        norm = mat.n_active_modes / (particle_density * geo.subvol_volume)
+    else:
+        norm = mat.n_active_modes / jnp.maximum(np_sv, 1).astype(phi.dtype)
+    phi = phi * norm[:, None] / (mat.n_qpoints * mat.volume_unitcell)
+    return phi

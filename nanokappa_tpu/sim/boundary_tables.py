@@ -1,0 +1,251 @@
+"""Host precompute of rough-wall boundary interaction tables.
+
+The reference builds, per rough facet and mode (classes/Population.py:852-1461):
+  * Ziman specularity p = exp(-(2 eta cos(theta))^2 k^2),
+  * a specular correspondence map (incoming mode -> outgoing mode) under
+    mirror reflection, with either the 'velocity' (default) or 'k' model,
+  * the diffuse re-emission roulette: creation rate = max(v.n_in, 0) minus the
+    specular outflow, as a cumulative distribution.
+
+It wraps the correspondences in a NearestNDInterpolator and redoes roulettes
+per event; here everything becomes dense integer/float tables gathered on
+device. The correspondence search itself uses a KD-tree instead of the
+reference's sorted-vx sweep (classes/Population.py:1241-1454) — same
+acceptance criteria (per-component velocity tolerance, omega overlap window,
+reflected-direction angle), picking the best (min |d_omega|) candidate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+import jax
+import jax.numpy as jnp
+
+from nanokappa_tpu.geometry.domain import Domain
+from nanokappa_tpu.material.tables import Material, fold_to_fbz
+
+_CRIT = 1e-3  # relative velocity tolerance (classes/Population.py:1271)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BoundaryTables:
+    """Tables are stored per *unique* (normal, roughness) pair — many rough
+    facets share them — and `row_of_rough` maps rough-facet index -> row.
+    The cascade's diffuse roulette loops over the (few) unique rows instead of
+    gathering (N_particles, M) CDF rows."""
+
+    specularity: jax.Array  # (NU, M) f32, zeroed where no correspondence
+    corr: jax.Array  # (NU, M) i32 outgoing mode, -1 where none
+    diffuse_cdf: jax.Array  # (NU, M) f32 normalised cumulative creation rate
+    row_of_rough: jax.Array  # (NR,) i32 rough facet -> table row
+    degen_partner: jax.Array  # (M,) i32 partner branch mode or -1 ('k' model)
+    n_rough: int = field(metadata=dict(static=True))
+    n_rows: int = field(metadata=dict(static=True))
+
+
+def _mode_tables(mat: Material):
+    M = mat.n_modes
+    v = mat.group_vel.reshape(M, 3)
+    omega = mat.omega.reshape(M)
+    k = np.repeat(mat.wavevectors, mat.n_branches, axis=0)
+    return v, omega, k
+
+
+def _grid_k(mat: Material) -> np.ndarray:
+    """Reciprocal grid half-spacing in cartesian coords
+    (reference tol, classes/Population.py:1059, 1243)."""
+    return np.abs((1.0 / (2.0 * mat.data_mesh)) @ mat.reciprocal_lattice.T)
+
+
+def _specularity(mat: Material, normals: np.ndarray, eta: np.ndarray) -> np.ndarray:
+    """(NR, M) Ziman specularity (classes/Population.py:852-877)."""
+    v, _, k = _mode_tables(mat)
+    vnorm = np.linalg.norm(v, axis=1)
+    knorm = np.linalg.norm(k, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # cos of incidence angle: v projected on inward normal
+        cos = (v @ (-normals.T)).T / vnorm[None, :]  # (NR, M)
+    p = np.exp(-((2.0 * eta[:, None] * cos) ** 2) * knorm[None, :] ** 2)
+    p[~np.isfinite(p)] = 0.0
+    return p
+
+
+def _correspondence_velocity(mat: Material, n: np.ndarray) -> np.ndarray:
+    """(M,) outgoing mode for each incoming mode under velocity mirror, -1 none."""
+    v, omega, _ = _mode_tables(mat)
+    M = v.shape[0]
+    corr = np.full(M, -1, dtype=np.int64)
+
+    vdn = v @ n  # v . outward normal
+    inc = np.nonzero(vdn > 0)[0]  # incoming: moving toward the wall
+    out = np.nonzero(vdn < 0)[0]  # candidate outgoing modes
+    if len(inc) == 0 or len(out) == 0:
+        return corr
+
+    k_grid = _grid_k(mat)
+    delta_omega = np.sqrt(((v * k_grid) ** 2).sum(axis=1))  # per-mode omega window
+
+    v_mirror = v[inc] - 2.0 * np.outer(vdn[inc], n)
+    tree = cKDTree(v[out])
+    kq = min(8, len(out))
+    dist, idx = tree.query(v_mirror, k=kq)
+    if kq == 1:
+        dist, idx = dist[:, None], idx[:, None]
+
+    cand = out[idx]  # (Ni, kq) global mode ids
+    vn_in = np.linalg.norm(v[inc], axis=1)
+    vn_cand = np.linalg.norm(v[cand.reshape(-1)], axis=1).reshape(cand.shape)
+    ref_norm = np.maximum(vn_in[:, None], vn_cand)
+    comp_diff = np.abs(v[cand.reshape(-1)].reshape(*cand.shape, 3) - v_mirror[:, None, :])
+    ok = np.all(comp_diff / np.maximum(ref_norm, 1e-300)[..., None] < _CRIT, axis=-1)
+
+    dw = np.abs(omega[cand] - omega[inc][:, None])
+    window = delta_omega[cand] + delta_omega[inc][:, None]
+    ok &= dw < window
+
+    dw = np.where(ok, dw, np.inf)
+    best = np.argmin(dw, axis=1)
+    has = np.isfinite(dw[np.arange(len(inc)), best])
+    corr[inc[has]] = cand[np.arange(len(inc)), best][has]
+    return corr
+
+
+def _correspondence_k(mat: Material, n: np.ndarray) -> np.ndarray:
+    """(M,) wavevector-mirror correspondence (classes/Population.py:1058-1165):
+    mirror k, keep only normal processes (mirror stays in the FBZ), snap to
+    the nearest grid q within tolerance, pick the branch with minimum relative
+    omega difference among modes with outgoing velocity and omega overlap."""
+    v, omega, kvec = _mode_tables(mat)
+    J = mat.n_branches
+    Q = mat.n_qpoints
+    corr = np.full(Q * J, -1, dtype=np.int64)
+
+    tol = _grid_k(mat)
+    k_q = mat.wavevectors  # (Q,3)
+    vdn = v.reshape(Q, J, 3) @ n  # (Q,J)
+    s_in = vdn > 0
+    s_out = vdn < 0
+
+    active_q = np.nonzero(s_in.any(axis=1))[0]
+    if len(active_q) == 0:
+        return corr
+    k_try = k_q[active_q] - 2.0 * np.outer(k_q[active_q] @ n, n)
+    k_fold = fold_to_fbz(k_try, mat.reciprocal_lattice)
+    normal_proc = np.all(np.abs(k_fold - k_try) < 1e-9, axis=1)
+    active_q = active_q[normal_proc]
+    k_try = k_try[normal_proc]
+
+    tree = cKDTree(k_q)
+    _, q_near = tree.query(k_try)
+    k_near = k_q[q_near]
+    in_tol = np.all(np.abs(k_try - k_near) < tol, axis=1) & s_out[q_near].any(axis=1)
+    active_q, q_near = active_q[in_tol], q_near[in_tol]
+
+    delta = np.sqrt(((v.reshape(Q, J, 3) * tol) ** 2).sum(axis=2))  # (Q,J)
+    for qi, qo in zip(active_q, q_near):
+        for j_in in np.nonzero(s_in[qi])[0]:
+            w_in = omega[qi * J + j_in]
+            lo_i = w_in - delta[qi, j_in]
+            hi_i = w_in + delta[qi, j_in]
+            best_j, best_d = -1, np.inf
+            for j_out in np.nonzero(s_out[qo])[0]:
+                w_out = omega[qo * J + j_out]
+                lo_o = w_out - delta[qo, j_out]
+                hi_o = w_out + delta[qo, j_out]
+                if min(hi_i, hi_o) - max(lo_i, lo_o) <= 0:
+                    continue
+                d = abs(w_in - w_out) / max(w_in, 1e-300)
+                if d < best_d:
+                    best_d, best_j = d, j_out
+            if best_j >= 0:
+                corr[qi * J + j_in] = qo * J + best_j
+    return corr
+
+
+def _degen_partner(mat: Material) -> np.ndarray:
+    """(M,) mode id of an equal-frequency partner branch, -1 if none."""
+    out = np.full(mat.n_modes, -1, dtype=np.int64)
+    for q, j1, j2 in mat.degeneracies:
+        out[q * mat.n_branches + j1] = q * mat.n_branches + j2
+        out[q * mat.n_branches + j2] = q * mat.n_branches + j1
+    return out
+
+
+def build_boundary_tables(
+    mat: Material,
+    domain: Domain,
+    scat_model: str = "velocity",
+    dtype=jnp.float32,
+) -> BoundaryTables:
+    rough = domain.rough_facets
+    NR = len(rough)
+    M = mat.n_modes
+    v, omega, _ = _mode_tables(mat)
+
+    if NR == 0:
+        return BoundaryTables(
+            specularity=jnp.zeros((1, M), dtype=dtype),
+            corr=jnp.full((1, M), -1, dtype=jnp.int32),
+            diffuse_cdf=jnp.ones((1, M), dtype=dtype),
+            row_of_rough=jnp.zeros(0, dtype=jnp.int32),
+            degen_partner=jnp.asarray(_degen_partner(mat), dtype=jnp.int32),
+            n_rough=0,
+            n_rows=1,
+        )
+
+    normals = domain.mesh.facet_normals[rough]  # outward
+    eta = np.nan_to_num(domain.rough_values)
+
+    # unique (normal, eta) rows
+    keys = np.round(np.concatenate([normals, eta[:, None]], axis=1), 10)
+    uniq, row_of_rough = np.unique(keys, axis=0, return_inverse=True)
+    NU = uniq.shape[0]
+    u_normals = uniq[:, :3]
+    u_eta = uniq[:, 3]
+
+    spec = _specularity(mat, u_normals, u_eta)  # (NU, M)
+    corr = np.stack(
+        [
+            _correspondence_k(mat, un)
+            if scat_model in ("k", "wavevector", "wave_vector")
+            else _correspondence_velocity(mat, un)
+            for un in u_normals
+        ],
+        axis=0,
+    )  # (NU, M)
+
+    # true specularity: only modes with a correspondence can reflect specularly
+    spec = np.where(corr >= 0, spec, 0.0)
+
+    # diffuse creation rate (classes/Population.py:879-939)
+    cdf = np.zeros((NU, M))
+    for f in range(NU):
+        vdn = v @ u_normals[f]  # outward
+        creation = np.maximum(-vdn, 0.0)  # modes leaving the wall into the domain
+        destruction = np.maximum(vdn, 0.0)  # modes arriving at the wall
+        spec_out = destruction * spec[f]
+        valid = corr[f] >= 0
+        np.add.at(creation, corr[f][valid], -spec_out[valid])
+        if scat_model in ("k", "wavevector", "wave_vector"):
+            dp = _degen_partner(mat)
+            has = dp >= 0
+            avg = 0.5 * (creation + creation[np.where(has, dp, 0)])
+            creation = np.where(has, avg, creation)
+        creation = np.maximum(np.round(creation, 10), 0.0)
+        c = np.cumsum(creation)
+        cdf[f] = c / c[-1]
+
+    return BoundaryTables(
+        specularity=jnp.asarray(spec, dtype=dtype),
+        corr=jnp.asarray(corr, dtype=jnp.int32),
+        diffuse_cdf=jnp.asarray(cdf, dtype=dtype),
+        row_of_rough=jnp.asarray(row_of_rough, dtype=jnp.int32),
+        degen_partner=jnp.asarray(_degen_partner(mat), dtype=jnp.int32),
+        n_rough=NR,
+        n_rows=NU,
+    )

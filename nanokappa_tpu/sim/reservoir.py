@@ -1,0 +1,239 @@
+"""Isothermal reservoir subsystem: entry probabilities and device injection.
+
+Host side precomputes per-(reservoir, mode) entry probabilities
+(reference `enter_probability`, classes/Population.py:146-161):
+
+    enter_prob[r, m] = max(v_m . (-n_r), 0) * dt / bound_thickness_r,
+    bound_thickness_r = N_active_modes / (particle_density * A_r).
+
+Device side implements the three generation schemes of the reference
+(classes/Population.py:356-523) with fixed-shape buffers:
+  * 'constant'   — deterministic floor + per-mode fractional accumulator,
+  * 'fixed_rate' — Bernoulli dice against the fractional part,
+  * 'one_to_one' — regenerate exactly N_leaving by roulette over enter_prob.
+Each injected particle receives a partial time-of-flight dt_in inside the
+domain, a position sampled uniformly on the reservoir facet, and the
+Bose-Einstein occupation at the reservoir temperature. Injected particles are
+written into dead pool slots (cumsum rank matching); overflow is counted.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nanokappa_tpu.geometry.device import DeviceGeometry
+from nanokappa_tpu.geometry.domain import Domain
+from nanokappa_tpu.material.tables import Material, MaterialTables
+from nanokappa_tpu.sim.bose import occupation_delta_T
+from nanokappa_tpu.sim.state import SimParams, SimState, STALE
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ReservoirTables:
+    enter_prob: jax.Array  # (R,M) f32
+    enter_cdf: jax.Array  # (R,M) f32 normalised cumulative enter_prob
+    n_reservoirs: int = field(metadata=dict(static=True))
+
+
+def build_reservoir_tables(
+    mat: Material,
+    domain: Domain,
+    dt: float,
+    particle_density: float,
+    dtype=jnp.float32,
+) -> ReservoirTables:
+    res = domain.res_facets
+    R = len(res)
+    M = mat.n_modes
+    if R == 0:
+        return ReservoirTables(
+            enter_prob=jnp.zeros((0, M), dtype=dtype),
+            enter_cdf=jnp.ones((0, M), dtype=dtype),
+            n_reservoirs=0,
+        )
+    v = mat.group_vel.reshape(M, 3)
+    normals = domain.mesh.facet_normals[res]  # outward
+    areas = domain.mesh.facet_areas[res]
+    bound_thickness = mat.n_active_modes / (particle_density * areas)  # (R,)
+    proj = v @ (-normals.T)  # (M,R) projection on inward normals
+    ep = np.maximum(proj.T * dt / bound_thickness[:, None], 0.0)  # (R,M)
+    cdf = np.cumsum(ep, axis=1)
+    cdf = cdf / cdf[:, -1:]
+    return ReservoirTables(
+        enter_prob=jnp.asarray(ep, dtype=dtype),
+        enter_cdf=jnp.asarray(cdf, dtype=dtype),
+        n_reservoirs=R,
+    )
+
+
+def inject(
+    state: SimState,
+    geo: DeviceGeometry,
+    mat: MaterialTables,
+    rtab: ReservoirTables,
+    params: SimParams,
+    key: jax.Array,
+    shard_idx: jax.Array | int = 0,
+    psum=lambda x: x,
+):
+    """Generate reservoir particles and write them into dead pool slots.
+
+    Returns (new_state, remaining_frac_update, on_facet): injected slots carry
+    a remaining time fraction dt_in/dt for the cascade; everyone else gets 1.
+    Under particle-axis sharding each shard runs the process at
+    enter_prob/n_shards with its own accumulator (state.res_counter[0]).
+    """
+    R, M = rtab.enter_prob.shape
+    if R == 0:
+        return (
+            state,
+            jnp.where(state.alive, 1.0, 0.0).astype(jnp.float32),
+            jnp.full(state.alive.shape, -1, dtype=jnp.int32),
+        )
+
+    cap = params.inj_cap
+    dt = params.dt
+    k_counts, k_dtin, k_pos1, k_pos2, k_tri, k_oto = jax.random.split(key, 6)
+
+    ep = rtab.enter_prob / params.n_shards
+    inj_mode = jnp.zeros(cap, dtype=jnp.int32)
+    inj_res = jnp.zeros(cap, dtype=jnp.int32)
+    inj_dtin = jnp.zeros(cap, dtype=jnp.float32)
+    inj_valid = jnp.zeros(cap, dtype=bool)
+
+    flat_r = (jnp.arange(R * M, dtype=jnp.int32) // M)
+    flat_m = (jnp.arange(R * M, dtype=jnp.int32) % M)
+
+    new_counter = state.res_counter
+
+    if params.res_gen in ("constant", "fixed_rate"):
+        fixed = jnp.floor(ep)
+        if params.res_gen == "constant":
+            # per-mode fractional accumulator (classes/Population.py:358-367)
+            counter = state.res_counter[0] + (ep - fixed)
+            extra = (counter >= 1.0).astype(ep.dtype)
+            new_counter = (counter - extra)[None]
+            frac1 = jnp.where(ep > 0, new_counter[0] / ep, 0.0)
+        else:
+            dice = jax.random.uniform(k_counts, (R, M))
+            extra = (dice <= (ep - fixed)).astype(ep.dtype)
+            frac1 = jnp.where(ep > 0, dice / ep, 0.0)
+        counts = (fixed + extra).astype(jnp.int32).reshape(-1)  # (R*M,)
+
+        base = jnp.zeros((), jnp.int32)
+        u = jax.random.uniform(k_dtin, (params.c_max, R * M))
+        for c in range(1, params.c_max + 1):
+            mask = counts >= c
+            if c == 1:
+                frac = frac1.reshape(-1)
+            else:
+                frac = jnp.where(
+                    ep.reshape(-1) > 0, (c - 1 + u[c - 1]) / ep.reshape(-1), 0.0
+                )
+            dtin = jnp.clip(dt * (1.0 - frac), 0.0, dt)
+            ranks = base + jnp.cumsum(mask) - 1
+            write = mask & (ranks < cap)
+            idx = jnp.where(write, ranks, cap)  # cap = trash slot
+            inj_mode = jnp.pad(inj_mode, (0, 1)).at[idx].set(flat_m)[:cap]
+            inj_res = jnp.pad(inj_res, (0, 1)).at[idx].set(flat_r)[:cap]
+            inj_dtin = jnp.pad(inj_dtin, (0, 1)).at[idx].set(dtin.astype(jnp.float32))[:cap]
+            inj_valid = jnp.pad(inj_valid, (0, 1)).at[idx].set(write)[:cap]
+            base = base + mask.sum(dtype=jnp.int32)
+        n_valid = jnp.minimum(base, cap)
+        dropped_inj = jnp.maximum(base - cap, 0)
+
+    elif params.res_gen == "one_to_one":
+        # regenerate exactly n_leaving[r] particles per reservoir by roulette
+        # (classes/Population.py:457-489); under sharding the global count is
+        # split across shards (remainder to the low shards)
+        per = cap // R
+        n_shards = params.n_shards
+        share = state.n_leaving // n_shards + (
+            jnp.asarray(shard_idx, jnp.int32) < state.n_leaving % n_shards
+        ).astype(jnp.int32)
+        u = jax.random.uniform(k_oto, (R, per))
+        modes = jax.vmap(lambda cdf, uu: jnp.searchsorted(cdf, uu))(
+            rtab.enter_cdf, u
+        ).astype(jnp.int32)  # (R,per)
+        j = jnp.arange(per, dtype=jnp.int32)
+        valid = j[None, :] < share[:, None]
+        inj_mode = modes.reshape(-1)[:cap]
+        inj_res = jnp.repeat(jnp.arange(R, dtype=jnp.int32), per)[:cap]
+        inj_dtin = (dt * jax.random.uniform(k_dtin, (R, per))).reshape(-1)[:cap]
+        inj_valid = valid.reshape(-1)[:cap]
+        n_valid = inj_valid.sum(dtype=jnp.int32)
+        dropped_inj = jnp.maximum(share.sum() - n_valid, 0)
+    else:
+        raise ValueError(f"unknown reservoir_gen '{params.res_gen}'")
+
+    # compact valid entries to the front
+    order = jnp.argsort(~inj_valid, stable=True)
+    inj_mode = inj_mode[order]
+    inj_res = inj_res[order]
+    inj_dtin = inj_dtin[order]
+
+    # positions on the reservoir facet: pick triangle by area CDF + barycentric
+    ut = jax.random.uniform(k_tri, (cap,))
+    rows = geo.res_tri_cdf[inj_res]  # (cap,K)
+    t_in_row = jax.vmap(jnp.searchsorted)(rows, ut).astype(jnp.int32)
+    t_in_row = jnp.minimum(t_in_row, geo.res_tri_cdf.shape[1] - 1)
+    tri = geo.res_tri_idx[inj_res, t_in_row]  # (cap,)
+    b = jax.random.uniform(k_pos1, (cap, 2))
+    flip = b.sum(axis=1) > 1.0
+    b = jnp.where(flip[:, None], 1.0 - b, b)
+    inj_pos = (
+        geo.tri_origin[tri]
+        + b[:, :1] * geo.tri_e1[tri]
+        + b[:, 1:] * geo.tri_e2[tri]
+    )
+
+    # occupation at reservoir temperature (classes/Population.py:505-506)
+    T_res = geo.res_temperature[inj_res]
+    inj_dev = occupation_delta_T(T_res, params.t_reference, mat.omega[inj_mode])
+    inj_facet = geo.res_facet[inj_res]
+
+    # --- write into dead slots -------------------------------------------------
+    dead = ~state.alive
+    dead_rank = jnp.cumsum(dead) - 1  # rank of each dead slot
+    n_dead = dead.sum(dtype=jnp.int32)
+    take = dead & (dead_rank < n_valid)  # pool slots that receive a particle
+    src = jnp.clip(dead_rank, 0, cap - 1)  # which injected entry
+
+    pos = jnp.where(take[:, None], inj_pos[src], state.pos)
+    mode = jnp.where(take, inj_mode[src], state.mode)
+    dev = jnp.where(take, inj_dev[src], state.dev)
+    alive = state.alive | take
+    coll_facet = jnp.where(take, STALE, state.coll_facet)
+    on_facet = jnp.where(take, inj_facet[src], -1)
+    remaining = jnp.where(
+        take,
+        inj_dtin[src] / dt,
+        jnp.where(state.alive, 1.0, 0.0),
+    ).astype(jnp.float32)
+
+    lost = state.lost + psum(dropped_inj + jnp.maximum(n_valid - n_dead, 0))
+
+    new_state = SimState(
+        pos=pos,
+        mode=mode,
+        dev=dev,
+        alive=alive,
+        t_coll=jnp.where(take, jnp.inf, state.t_coll),
+        coll_facet=coll_facet,
+        sv_id=state.sv_id,
+        T_sv=state.T_sv,
+        Np_sv=state.Np_sv,
+        res_counter=new_counter,
+        n_leaving=state.n_leaving,
+        res_energy_balance=state.res_energy_balance,
+        res_heat_flux=state.res_heat_flux,
+        lost=lost,
+        key=state.key,
+        step=state.step,
+    )
+    return new_state, remaining, on_facet

@@ -1,0 +1,47 @@
+"""Relaxation-time (RTA) scattering toward the local Bose-Einstein occupation.
+
+n <- n0(T) + (n - n0(T)) * exp(-dt / tau(T, m))   (classes/Population.py:1701-1710)
+
+In deviation form (dev = n - n0(T_ref)):
+g = n0(T) - n0(T_ref);  dev <- g + (dev - g) * exp(-dt/tau).
+tau is gathered from the (nT, M) lifetime table with linear interpolation in T
+(the reference uses a scipy RegularGridInterpolator over (T, q, j),
+classes/Phonon.py:326-336; here exact gather in m, lerp in T, clamped at the
+table edges)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from nanokappa_tpu.material.tables import MaterialTables
+from nanokappa_tpu.sim.bose import occupation_delta_T
+
+
+def lifetime_lookup(mat: MaterialTables, T: jax.Array, mode: jax.Array) -> jax.Array:
+    nT = mat.tau_T.shape[0]
+    i = jnp.clip(jnp.searchsorted(mat.tau_T, T) - 1, 0, nT - 2)
+    w = (T - mat.tau_T[i]) / (mat.tau_T[i + 1] - mat.tau_T[i])
+    w = jnp.clip(w, 0.0, 1.0)
+    M = mat.tau.shape[1]
+    flat = mat.tau.reshape(-1)
+    tau_lo = flat[i * M + mode]
+    tau_hi = flat[(i + 1) * M + mode]
+    return tau_lo * (1 - w) + tau_hi * w
+
+
+def rta_scatter(
+    mat: MaterialTables,
+    dev: jax.Array,
+    mode: jax.Array,
+    T_local: jax.Array,
+    alive: jax.Array,
+    dt: float,
+    t_reference: float,
+) -> jax.Array:
+    omega = mat.omega[mode]
+    g = occupation_delta_T(T_local, t_reference, omega)
+    tau = lifetime_lookup(mat, T_local, mode)
+    decay = jnp.where(tau > 0, jnp.exp(-dt / jnp.maximum(tau, 1e-12)), 0.0)
+    new_dev = g + (dev - g) * decay
+    return jnp.where(alive, new_dev, dev)

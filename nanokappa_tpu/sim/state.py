@@ -1,0 +1,219 @@
+"""Simulation state: one immutable pytree of fixed-shape device arrays.
+
+The reference mutates 13 parallel NumPy arrays with np.delete / np.vstack
+every event (classes/Population.py:525-552, 832-850). On TPU the population
+lives in a fixed-capacity pool with an alive mask; reservoir injection fills
+dead slots and absorption clears the mask, so shapes never change and the
+whole timestep stays compiled.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nanokappa_tpu.constants import HBAR, KB
+from nanokappa_tpu.geometry.device import DeviceGeometry
+from nanokappa_tpu.geometry.domain import BC, Domain
+from nanokappa_tpu.material.tables import Material, bose_einstein
+
+# coll_facet sentinels
+STALE = -2  # needs a ray cast (fresh injection / initialisation / resample)
+NOHIT = -1  # ray cast found nothing (defective; particle is quarantined)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SimParams:
+    dt: float = field(metadata=dict(static=True))  # ps
+    n_cap: int = field(metadata=dict(static=True))  # particle pool capacity
+    inj_cap: int = field(metadata=dict(static=True))  # injection buffer size
+    k_max: int = field(metadata=dict(static=True), default=8)  # cascade rounds
+    c_max: int = field(metadata=dict(static=True), default=3)  # max particles
+    #   injected per (reservoir, mode) per step
+    energy_normal: str = field(metadata=dict(static=True), default="mean")
+    temp_interp: str = field(metadata=dict(static=True), default="linear")
+    res_gen: str = field(metadata=dict(static=True), default="constant")
+    scat_model: str = field(metadata=dict(static=True), default="velocity")
+    particle_density: float = field(metadata=dict(static=True), default=0.0)
+    n_active_modes: int = field(metadata=dict(static=True), default=0)
+    t_reference: float = field(metadata=dict(static=True), default=300.0)
+    n_shards: int = field(metadata=dict(static=True), default=1)  # particle-
+    #   axis data parallelism: each shard runs the reservoir process at
+    #   rate/n_shards with its own accumulator
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SimState:
+    # particle pool (N = capacity)
+    pos: jax.Array  # (N,3) f32, angstrom
+    mode: jax.Array  # (N,) i32 flattened mode index
+    dev: jax.Array  # (N,) f32 occupation deviation n - n0(T_ref)
+    alive: jax.Array  # (N,) bool
+    t_coll: jax.Array  # (N,) f32 time to next boundary hit, in dt units
+    coll_facet: jax.Array  # (N,) i32 facet of next hit / STALE / NOHIT
+
+    # fields refreshed every step
+    sv_id: jax.Array  # (N,) i32
+    T_sv: jax.Array  # (SV,) f32 subvolume temperatures
+    Np_sv: jax.Array  # (SV,) i32
+
+    # reservoir machinery
+    res_counter: jax.Array  # (S,R,M) f32 fractional accumulator ('constant'
+    #   generation); leading axis = particle shard (S=1 single chip), so the
+    #   per-shard view under shard_map keeps the same rank
+    n_leaving: jax.Array  # (R,) i32 absorbed count (for 'one_to_one')
+    res_energy_balance: jax.Array  # (R,) f32 ledger (reset every n_dt_to_conv)
+    res_heat_flux: jax.Array  # (R,3) f32 ledger
+    lost: jax.Array  # () i32 defective/overflow telemetry
+
+    key: jax.Array  # PRNG key
+    step: jax.Array  # () i32
+
+
+def particle_count(spec: tuple, mat: Material, domain: Domain) -> tuple[int, float]:
+    """Resolve the --particles (kind, value) spec into (N_p, particle_density).
+
+    Reference classes/Population.py:50-63."""
+    kind, value = spec[0], float(spec[1])
+    n_sv = domain.n_of_subvols
+    if kind == "pmps":
+        n_p = int(np.ceil(value * mat.n_active_modes * n_sv))
+    elif kind == "total":
+        n_p = int(np.ceil(value))
+    elif kind == "pv":
+        n_p = int(np.ceil(value * domain.volume))
+    else:
+        raise ValueError(f"unknown particle spec '{kind}'")
+    return n_p, n_p / domain.volume
+
+
+def initial_modes(n_p: int, mat: Material) -> np.ndarray:
+    """Tile the active modes cyclically (reference classes/Population.py:127-144)."""
+    active = np.nonzero(~mat.inactive_mask.reshape(-1))[0]
+    reps = int(np.ceil(n_p / len(active)))
+    return np.tile(active, reps)[:n_p].astype(np.int32)
+
+
+def initial_subvol_temperatures(
+    temp_dist: str,
+    domain: Domain,
+    subvol_temp=(),
+) -> np.ndarray:
+    """Initial per-subvolume temperatures (reference classes/Population.py:565-655)."""
+    n_sv = domain.n_of_subvols
+    bound_T = domain.res_values[
+        domain.bound_cond[domain.res_facets] == BC.TEMPERATURE
+    ]
+    if temp_dist == "custom":
+        return np.asarray(subvol_temp, dtype=float)
+    if len(bound_T) == 0:
+        bound_T = np.array([300.0])
+    if temp_dist == "cold":
+        return np.full(n_sv, bound_T.min())
+    if temp_dist == "hot":
+        return np.full(n_sv, bound_T.max())
+    if temp_dist == "mean":
+        return np.full(n_sv, bound_T.mean())
+    if temp_dist == "random":
+        return np.random.rand(n_sv) * np.ptp(bound_T) + bound_T.min()
+    if temp_dist == "linear":
+        res_T_facets = domain.res_facets[
+            domain.bound_cond[domain.res_facets] == BC.TEMPERATURE
+        ]
+        bp = domain.mesh.facet_centroids[res_T_facets]
+        if len(bound_T) == 1:
+            return np.full(n_sv, bound_T[0])
+        if len(bound_T) == 2:
+            direction = bp[1] - bp[0]
+            alphas = ((domain.subvol_center - bp[0]) * direction).sum(axis=1)
+            alphas /= (direction**2).sum()
+            return bound_T[0] + alphas * (bound_T[1] - bound_T[0])
+        d = np.linalg.norm(
+            domain.subvol_center[None, :, :] - bp[:, None, :], axis=2
+        ).T  # (SV,R)
+        w = 1.0 / np.maximum(d, 1e-12)
+        w /= w.sum(axis=1, keepdims=True)
+        return (bound_T * w).sum(axis=1)
+    raise ValueError(f"unknown temp_dist '{temp_dist}'")
+
+
+def init_state(
+    mat: Material,
+    domain: Domain,
+    geo: DeviceGeometry,
+    params: SimParams,
+    n_p: int,
+    temp_dist: str = "cold",
+    part_dist: str = "random_subvol",
+    subvol_temp=(),
+    seed: int = 0,
+    positions: np.ndarray | None = None,
+    modes: np.ndarray | None = None,
+    occupation: np.ndarray | None = None,
+) -> SimState:
+    rng = np.random.default_rng(seed)
+    n_cap = params.n_cap
+    R = geo.n_reservoirs
+    M = mat.n_modes
+    SV = domain.n_of_subvols
+
+    if positions is None:
+        if part_dist in ("random_domain", "random_subvol"):
+            positions = domain.mesh.sample_volume(n_p, rng)
+        elif part_dist in ("center_domain", "center_subvol"):
+            positions = np.tile(domain.mesh.center_mass, (n_p, 1))
+        else:
+            raise ValueError(f"unknown part_dist '{part_dist}'")
+    if modes is None:
+        modes = initial_modes(n_p, mat)
+
+    T_sv = initial_subvol_temperatures(temp_dist, domain, subvol_temp)
+
+    # particle temperatures = their subvolume's (nearest interp at init)
+    d = np.linalg.norm(positions[:, None, :] - domain.subvol_center[None], axis=-1)
+    sv = np.argmin(d, axis=1)
+    T_p = T_sv[sv]
+
+    omega_p = mat.omega.reshape(-1)[modes]
+    if occupation is None:
+        dev = bose_einstein(T_p, omega_p) - bose_einstein(params.t_reference, omega_p)
+    else:
+        dev = occupation - bose_einstein(params.t_reference, omega_p)
+
+    # spread live particles evenly over the pool so every particle shard gets
+    # an equal share of population AND of dead-slot headroom
+    slots = (np.arange(n_p, dtype=np.int64) * n_cap) // n_p
+
+    def full(x, fill):
+        out = np.full((n_cap,) + x.shape[1:], fill, dtype=x.dtype)
+        out[slots] = x
+        return out
+
+    alive = np.zeros(n_cap, dtype=bool)
+    alive[slots] = True
+
+    return SimState(
+        pos=jnp.asarray(full(positions.astype(np.float32), 0.0)),
+        mode=jnp.asarray(full(modes.astype(np.int32), 0)),
+        dev=jnp.asarray(full(dev.astype(np.float32), 0.0)),
+        alive=jnp.asarray(alive),
+        t_coll=jnp.full(n_cap, np.inf, dtype=jnp.float32),
+        coll_facet=jnp.full(n_cap, STALE, dtype=jnp.int32),
+        sv_id=jnp.asarray(full(sv.astype(np.int32), 0)),
+        T_sv=jnp.asarray(T_sv, dtype=jnp.float32),
+        Np_sv=jnp.asarray(np.bincount(sv, minlength=SV).astype(np.int32)),
+        res_counter=jnp.asarray(
+            rng.random((params.n_shards, R, M)).astype(np.float32)
+        ),  # random phase, like reference classes/Population.py:343
+        n_leaving=jnp.zeros(R, dtype=jnp.int32),
+        res_energy_balance=jnp.zeros(R, dtype=jnp.float32),
+        res_heat_flux=jnp.zeros((R, 3), dtype=jnp.float32),
+        lost=jnp.zeros((), dtype=jnp.int32),
+        key=jax.random.PRNGKey(seed),
+        step=jnp.zeros((), dtype=jnp.int32),
+    )

@@ -1,0 +1,188 @@
+"""The fused timestep: one XLA program per step, scanned for multi-step runs.
+
+Order of operations matches the reference run_timestep
+(classes/Population.py:1724-1769):
+  1. reservoir injection (fill_reservoirs + add_reservoir_particles),
+  2. drift + boundary-event cascade (drift + boundary_scattering),
+  3. subvolume energy binning + temperature refresh (refresh_temperatures),
+  4. RTA scattering (lifetime_scattering),
+with per-step observables (T_sv, E_sv, flux, Np, reservoir ledgers) returned
+for the host-side convergence machinery.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from nanokappa_tpu.constants import EVPSA2_IN_WM2
+from nanokappa_tpu.geometry.device import DeviceGeometry
+from nanokappa_tpu.material.tables import MaterialTables
+from nanokappa_tpu.sim.binning import (
+    bin_energy,
+    bin_heat_flux,
+    interp_T_particles,
+    lookup_E_of_T,
+    lookup_T_of_E,
+    particle_energies,
+    subvol_id,
+)
+from nanokappa_tpu.sim.boundary_tables import BoundaryTables
+from nanokappa_tpu.sim.cascade import run_cascade
+from nanokappa_tpu.sim.reservoir import ReservoirTables, inject
+from nanokappa_tpu.sim.scatter import rta_scatter
+from nanokappa_tpu.sim.state import SimParams, SimState
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class StepOutputs:
+    T_sv: jax.Array  # (SV,)
+    E_sv: jax.Array  # (SV,) energy density eV/A^3 (incl. reference)
+    phi_sv: jax.Array  # (SV,3) heat flux W/m^2
+    Np_sv: jax.Array  # (SV,) i32
+    N_p: jax.Array  # () i32
+    total_energy: jax.Array  # () f32, sum of particle deviation energies (eV)
+    res_energy_balance: jax.Array  # (R,) raw ledger (eV)
+    res_heat_flux: jax.Array  # (R,3) raw ledger
+    n_leaving: jax.Array  # (R,)
+    lost: jax.Array  # ()
+
+
+def make_step(
+    geo: DeviceGeometry,
+    mat: MaterialTables,
+    btab: BoundaryTables,
+    rtab: ReservoirTables,
+    params: SimParams,
+    axis_name: str | None = None,
+):
+    """Returns step(state) -> (state, StepOutputs). Pure; jit/scan-ready.
+
+    With `axis_name` set (inside shard_map over the particle axis) the
+    subvolume reductions and reservoir ledgers are all-reduced with psum over
+    ICI; everything else is embarrassingly parallel (SURVEY.md section 5.8:
+    particles never interact pairwise, so no migration between shards)."""
+
+    if axis_name is None:
+        psum = lambda x: x  # noqa: E731
+
+        def shard_idx():
+            return 0
+    else:
+        psum = lambda x: jax.lax.psum(x, axis_name)  # noqa: E731
+
+        def shard_idx():
+            return jax.lax.axis_index(axis_name)
+
+    def step(state: SimState, _=None):
+        key = jax.random.fold_in(state.key, state.step)
+        key = jax.random.fold_in(key, shard_idx())
+        k_inj, k_casc = jax.random.split(key)
+
+        # 1. reservoir injection
+        state, remaining, on_facet = inject(
+            state, geo, mat, rtab, params, k_inj, shard_idx(), psum
+        )
+
+        # 2. drift + boundary cascade
+        state = run_cascade(
+            state, remaining, on_facet, geo, mat, btab, params, k_casc, psum,
+            axis_name,
+        )
+
+        # 3. rebin + refresh temperatures (classes/Population.py:685-728)
+        sv = subvol_id(geo, state.pos)
+        # dn is taken against the *subvolume* temperature, not the particle-
+        # interpolated one (classes/Population.py:707)
+        energies = particle_energies(
+            mat, state.mode, state.dev, state.alive,
+            state.T_sv[sv], params.t_reference,
+        )
+        e_dev_sv, np_sv = bin_energy(
+            geo, mat, energies, sv, state.alive,
+            params.energy_normal, params.particle_density, psum,
+        )
+        E_sv = e_dev_sv + lookup_E_of_T(mat, state.T_sv)
+        T_sv_new = lookup_T_of_E(mat, E_sv)
+
+        # particle temperatures from the *new* profile
+        T_p = interp_T_particles(geo, T_sv_new, state.pos, sv, params.temp_interp)
+
+        # heat flux with pre-scatter energies (reference uses the energies
+        # computed in refresh_temperatures, classes/Population.py:1754-1763)
+        phi = bin_heat_flux(
+            geo, mat, energies, state.mode, sv, state.alive, np_sv,
+            params.energy_normal, params.particle_density, psum,
+        ) * EVPSA2_IN_WM2
+
+        # 4. RTA scattering toward the local equilibrium
+        dev = rta_scatter(
+            mat, state.dev, state.mode, T_p, state.alive,
+            params.dt, params.t_reference,
+        )
+
+        new_state = SimState(
+            pos=state.pos,
+            mode=state.mode,
+            dev=dev,
+            alive=state.alive,
+            t_coll=state.t_coll,
+            coll_facet=state.coll_facet,
+            sv_id=sv,
+            T_sv=T_sv_new,
+            Np_sv=np_sv,
+            res_counter=state.res_counter,
+            n_leaving=state.n_leaving,
+            res_energy_balance=state.res_energy_balance,
+            res_heat_flux=state.res_heat_flux,
+            lost=state.lost,
+            key=state.key,
+            step=state.step + 1,
+        )
+        outputs = StepOutputs(
+            T_sv=T_sv_new,
+            E_sv=E_sv,
+            phi_sv=phi,
+            Np_sv=np_sv,
+            N_p=np_sv.sum(),
+            total_energy=psum(energies.sum()),
+            res_energy_balance=new_state.res_energy_balance,
+            res_heat_flux=new_state.res_heat_flux,
+            n_leaving=new_state.n_leaving,
+            lost=new_state.lost,
+        )
+        return new_state, outputs
+
+    return step
+
+
+def build_step(geo, mat, btab, rtab, params, n_inner: int = 1):
+    """Jitted multi-step: advances n_inner steps, returns the last outputs.
+
+    The host syncs once per call (reference writes convergence data every
+    n_dt_to_conv = 10 steps, classes/Population.py:41,1762)."""
+    step = make_step(geo, mat, btab, rtab, params)
+
+    @jax.jit
+    def run(state: SimState):
+        state, outs = jax.lax.scan(step, state, length=n_inner)
+        last = jax.tree.map(lambda x: x[-1], outs)
+        return state, last
+
+    return run
+
+
+def reset_ledgers(state: SimState) -> SimState:
+    """Zero the reservoir balance ledgers (reference restart_reservoir_balance,
+    classes/Population.py:1695-1699)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        state,
+        res_energy_balance=jnp.zeros_like(state.res_energy_balance),
+        res_heat_flux=jnp.zeros_like(state.res_heat_flux),
+    )

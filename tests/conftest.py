@@ -2,16 +2,16 @@
 
 Real TPU hardware gives us one chip; multi-chip sharding correctness is
 validated on virtual CPU devices exactly as the driver's dryrun does.
+
+Note: the environment's sitecustomize imports jax at interpreter start and
+registers the axon TPU backend, so env vars are too late here — the override
+must go through jax.config.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,74 @@
+"""Multi-chip correctness on the 8-device virtual CPU mesh (conftest.py).
+
+The driver's dryrun validates the same path; here we additionally check
+physics equivalence: an 8-shard run must reproduce the single-chip subvolume
+statistics within Monte Carlo noise (SURVEY.md section 4 test strategy)."""
+
+import numpy as np
+import jax
+import pytest
+
+from nanokappa_tpu.parallel import make_particle_mesh, shard_state, build_sharded_step
+from nanokappa_tpu.sim.state import SimParams, init_state, particle_count
+from nanokappa_tpu.sim.step import build_step
+
+from tests.test_sim_box import film_setup
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_particle_mesh(8)
+
+
+def test_sharded_step_runs_and_matches(small_material, mesh):
+    import dataclasses
+
+    mat = small_material
+    dom, geo, btab, rtab, params, _ = film_setup(mat, n_particles=16000)
+    mtab = mat.device_tables()
+
+    # single chip reference
+    from nanokappa_tpu.sim.state import init_state as _init
+
+    params1 = dataclasses.replace(params, n_cap=24000, n_shards=1)
+    s1 = _init(mat, dom, geo, params1, 16000, temp_dist="linear", seed=3)
+    run1 = build_step(geo, mtab, btab, rtab, params1, n_inner=10)
+
+    # 8 shards
+    params8 = dataclasses.replace(params, n_cap=24000, n_shards=8)
+    s8 = _init(mat, dom, geo, params8, 16000, temp_dist="linear", seed=4)
+    s8 = shard_state(s8, mesh)
+    run8 = build_sharded_step(geo, mtab, btab, rtab, params8, mesh, n_inner=10)
+
+    for _ in range(20):
+        s1, o1 = run1(s1)
+        s8, o8 = run8(s8)
+
+    T1, T8 = np.asarray(o1.T_sv), np.asarray(o8.T_sv)
+    # same physics within MC noise
+    assert np.abs(T1 - T8).max() < 0.35
+    # population conserved on both paths
+    assert abs(int(o8.N_p) - int(o1.N_p)) < 0.1 * int(o1.N_p)
+    assert int(o8.lost) == 0
+    # state stays sharded over the mesh
+    assert len(s8.pos.sharding.device_set) == 8
+
+
+def test_sharded_outputs_replicated(small_material, mesh):
+    import dataclasses
+
+    mat = small_material
+    dom, geo, btab, rtab, params, _ = film_setup(mat, n_particles=8000)
+    params8 = dataclasses.replace(params, n_cap=16000, n_shards=8)
+    state = init_state(mat, dom, geo, params8, 8000, temp_dist="linear", seed=7)
+    state = shard_state(state, mesh)
+    run8 = build_sharded_step(
+        geo, mat.device_tables(), btab, rtab, params8, mesh, n_inner=5
+    )
+    state, out = run8(state)
+    # T_sv must be bitwise identical on every device (replicated after psum)
+    shards = [np.asarray(s.data) for s in out.T_sv.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
