@@ -1,0 +1,367 @@
+"""Host-side simulation driver: assembly, main loop, convergence machinery.
+
+The reference wires its classes together in nanokappa.py:71-107 and stops on
+iteration count, convergence residue, or wall-clock limit
+(nanokappa.py:91-98). The residue machinery mirrors
+Visualisation.read_convergence + Population.update_residue
+(classes/Visualisation.py:122-212, classes/Population.py:1771-1839): rolling
+means/stds over the last n_mean convergence datapoints; the maximum relative
+change of every monitored mean must stay below conv_crit for
+conv_count_min consecutive checks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from collections import deque
+
+import numpy as np
+import jax
+
+from nanokappa_tpu.io import writers
+from nanokappa_tpu.io.config import write_arguments_file
+from nanokappa_tpu.geometry.domain import BC, Domain, build_domain
+from nanokappa_tpu.geometry.device import build_device_geometry
+from nanokappa_tpu.material import load_material
+from nanokappa_tpu.material.tables import Material, bose_einstein
+from nanokappa_tpu.sim.boundary_tables import build_boundary_tables
+from nanokappa_tpu.sim.kappa import kappa_connections, kappa_slice
+from nanokappa_tpu.sim.reservoir import build_reservoir_tables
+from nanokappa_tpu.sim.state import SimParams, init_state, particle_count
+from nanokappa_tpu.sim.step import build_step, reset_ledgers
+from nanokappa_tpu.constants import EVPSA2_IN_WM2
+
+
+def parse_max_time(s: str) -> float:
+    """'D-HH:MM:SS' -> seconds; 0-00:00:00 disables (returns inf)."""
+    days, hms = s.split("-") if "-" in s else ("0", s)
+    h, m, sec = (int(x) for x in hms.split(":"))
+    total = int(days) * 86400 + h * 3600 + m * 60 + sec
+    return float("inf") if total == 0 else float(total)
+
+
+N_DT_TO_CONV = 10  # timesteps per convergence datapoint (Population.py:41)
+
+
+class Simulation:
+    """Everything assembled from parsed args; run() is the main loop."""
+
+    def __init__(self, args, material: Material | None = None):
+        self.args = args
+        self.folder = args.results_folder
+        os.makedirs(self.folder, exist_ok=True)
+        write_arguments_file(args, self.folder)
+
+        # --- material -------------------------------------------------------
+        if material is None:
+            rotation = None
+            if len(args.mat_rotation) >= 4:
+                rotation = (
+                    [float(x) for x in args.mat_rotation[1:4]],
+                    str(args.mat_rotation[4]) if len(args.mat_rotation) > 4 else "xyz",
+                )
+            material = load_material(
+                args.mat_folder[0],
+                args.hdf_file[0],
+                args.poscar_file[0],
+                isotope_scattering=0 in list(args.isotope_scat),
+                rotation=rotation,
+            )
+        self.material = material
+
+        # --- geometry -------------------------------------------------------
+        rot = None
+        gr = list(args.geo_rotation)
+        if len(gr) >= 4 and any(float(x) != 0 for x in gr[:-1]):
+            rot = ([float(x) for x in gr[:-1]], str(gr[-1]))
+        self.domain = build_domain(
+            geometry=str(args.geometry[0]).replace("cuboid", "box"),
+            dimensions=[float(d) for d in args.dimensions],
+            scale=[float(s) for s in args.scale],
+            rotation=rot,
+            subvolumes=tuple(args.subvolumes),
+            bound_pos=tuple(args.bound_pos),
+            bound_cond=tuple(args.bound_cond),
+            bound_values=tuple(args.bound_values),
+            connect_pos=tuple(args.connect_pos),
+        )
+        self.geo = build_device_geometry(self.domain)
+
+        # --- parameters -----------------------------------------------------
+        n_p, rho = particle_count(tuple(args.particles), material, self.domain)
+        self.n_p_target = n_p
+        n_shards = int(args.n_shards[0]) or 1
+        res_T = self.domain.res_values[
+            self.domain.bound_cond[self.domain.res_facets] == BC.TEMPERATURE
+        ]
+        t_ref = (
+            float(res_T.mean())
+            if str(args.reference_temp[0]) == "local" and len(res_T)
+            else (300.0 if str(args.reference_temp[0]) == "local" else float(args.reference_temp[0]))
+        )
+        n_cap = int(n_p * float(args.pool_margin[0]))
+        n_cap = -(-n_cap // (8 * n_shards)) * 8 * n_shards
+        self.params = SimParams(
+            dt=float(args.timestep[0]),
+            n_cap=n_cap,
+            inj_cap=1 << 14,
+            energy_normal=str(args.energy_normal[0]),
+            temp_interp=str(args.temp_interp[0]),
+            res_gen=str(args.reservoir_gen[0]),
+            scat_model=str(args.bound_scat[0]),
+            particle_density=rho,
+            n_active_modes=material.n_active_modes,
+            t_reference=t_ref,
+            n_shards=n_shards,
+        )
+
+        # --- tables ---------------------------------------------------------
+        self.btab = build_boundary_tables(material, self.domain, self.params.scat_model)
+        self.rtab = build_reservoir_tables(material, self.domain, self.params.dt, rho)
+        self.mtab = material.device_tables()
+
+        # --- state ----------------------------------------------------------
+        part_dist = str(args.part_dist[0])
+        kw = {}
+        if part_dist not in ("random_domain", "center_domain", "random_subvol", "center_subvol"):
+            modes_qj, positions, occupation = writers.read_particle_data(part_dist)
+            kw = dict(
+                positions=positions,
+                modes=material.mode_index(modes_qj[:, 0], modes_qj[:, 1]).astype(np.int32),
+                occupation=occupation,
+            )
+            n_p = len(occupation)
+            part_dist = "random_domain"
+        self.state = init_state(
+            material, self.domain, self.geo, self.params, n_p,
+            temp_dist=str(args.temp_dist[0]),
+            part_dist=part_dist,
+            subvol_temp=[float(t) for t in args.subvol_temp],
+            seed=int(args.seed[0]),
+            **kw,
+        )
+
+        # --- step function --------------------------------------------------
+        if n_shards > 1:
+            from nanokappa_tpu.parallel import (
+                build_sharded_step, make_particle_mesh, shard_state,
+            )
+
+            mesh = make_particle_mesh(n_shards)
+            self.state = shard_state(self.state, mesh)
+            self.run_steps = build_sharded_step(
+                self.geo, self.mtab, self.btab, self.rtab, self.params, mesh,
+                n_inner=N_DT_TO_CONV,
+            )
+        else:
+            self.run_steps = build_step(
+                self.geo, self.mtab, self.btab, self.rtab, self.params,
+                n_inner=N_DT_TO_CONV,
+            )
+
+        # --- convergence machinery ------------------------------------------
+        self.conv_crit = float(args.conv_crit[0])
+        self.conv_count_min = int(args.conv_crit[1])
+        self.n_mean = int(args.n_mean[0])
+        self.window: deque = deque(maxlen=self.n_mean)
+        self.conv_count = 0
+        self.finish_sim = False
+        self.max_residue = 1.0
+        self.max_residue_qt = "none"
+        self.old_mean = None
+        self.current_timestep = 0
+        self.res_T_pad = res_T if len(res_T) >= 2 else np.array([300.0, 300.0])
+
+        self.conv_writer = writers.ConvergenceWriter(
+            self.folder,
+            self.domain.n_of_subvols,
+            self.domain.n_of_reservoirs,
+            self.domain.subvol_type,
+            self.domain.subvol_connections,
+        )
+
+    # ------------------------------------------------------------------ run
+
+    def _observe(self, out):
+        """Convert StepOutputs into one convergence datapoint (host)."""
+        dom, args = self.domain, self.args
+        T = np.asarray(out.T_sv, dtype=float)
+        E = np.asarray(out.E_sv, dtype=float)
+        phi = np.asarray(out.phi_sv, dtype=float)
+        Np = np.asarray(out.Np_sv, dtype=int)
+        # reservoir ledgers: normalise like adjust_reservoir_balance
+        # (classes/Population.py:1685-1693)
+        mat = self.material
+        dens = self.params.particle_density
+        areas = dom.mesh.facet_areas[dom.res_facets]
+        eb = np.asarray(out.res_energy_balance, dtype=float)
+        hf = np.asarray(out.res_heat_flux, dtype=float)
+        scale = mat.n_active_modes / (dens * self.params.dt * N_DT_TO_CONV)
+        eb = eb * scale / (mat.n_qpoints * mat.volume_unitcell)
+        hf = hf * (scale / np.maximum(areas, 1e-300))[:, None] / (
+            mat.n_qpoints * mat.volume_unitcell
+        ) * EVPSA2_IN_WM2
+
+        row = dict(T=T, E=E, phi=phi, Np=Np, eb=eb, hf=hf,
+                   total_energy=float(out.total_energy),
+                   N_p=int(out.N_p), lost=int(out.lost))
+        if dom.subvol_type == "slice":
+            ksv, ktot = kappa_slice(
+                T, phi, Np, self.res_T_pad,
+                float(np.ptp(dom.bounds[:, dom.slice_axis])), dom.slice_axis,
+            )
+            row["kappa_sv"] = ksv
+            row["kappa_total"] = ktot
+        else:
+            row["kappa_con"] = kappa_connections(
+                T, phi, dom.subvol_center, dom.subvol_connections
+            )
+        return row
+
+    def _write_convergence(self, row):
+        self.conv_writer.write_row(
+            self.current_timestep,
+            self.current_timestep * self.params.dt,
+            row["total_energy"],
+            row["eb"], row["hf"], row["N_p"],
+            row["T"], row["E"], row["phi"], row["Np"],
+            kappa_sv=row.get("kappa_sv"),
+            kappa_total=row.get("kappa_total"),
+            kappa_con=row.get("kappa_con"),
+        )
+
+    def _update_residue(self):
+        """Rolling means over the window; residue vs previous check
+        (classes/Population.py:1797-1830)."""
+        dom = self.domain
+        W = list(self.window)
+        T = np.stack([w["T"] for w in W])
+        eb = np.stack([w["eb"] for w in W])
+        if dom.subvol_type == "slice":
+            phi = np.stack([w["phi"][:, dom.slice_axis] for w in W])
+            k = np.stack([w["kappa_sv"] for w in W])
+            names = (
+                [f"T_{i}" for i in range(T.shape[1])]
+                + [f"phi_{i}" for i in range(phi.shape[1])]
+                + [f"en_res_{i}" for i in range(eb.shape[1])]
+                + [f"k_{i}" for i in range(k.shape[1])]
+            )
+        else:
+            phi = np.stack([w["phi"].reshape(-1) for w in W])
+            k = np.stack([w["kappa_con"] for w in W])
+            names = (
+                [f"T_{i}" for i in range(T.shape[1])]
+                + [f"phi_{i}" for i in range(phi.shape[1])]
+                + [f"en_res_{i}" for i in range(eb.shape[1])]
+                + [f"k_{i}" for i in range(k.shape[1])]
+            )
+        mean = np.concatenate(
+            [T.mean(0), phi.mean(0), eb.mean(0), np.nanmean(k, axis=0)]
+        )
+        std = np.concatenate(
+            [T.std(0), phi.std(0), eb.std(0), np.nanstd(k, axis=0)]
+        )
+        if self.old_mean is None:
+            self.old_mean = np.ones_like(mean)
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            residue = np.abs((mean - self.old_mean) / self.old_mean)
+        residue = np.where(std > np.abs(mean), 0.0, residue)
+        self.max_residue = float(np.nanmax(residue))
+        self.max_residue_qt = names[int(np.nanargmax(np.nan_to_num(residue)))]
+        self.old_mean = mean
+        writers.append_residue(self.folder, residue)
+
+        if self.max_residue < self.conv_crit:
+            self.conv_count += 1
+        else:
+            self.conv_count = 0
+        if self.conv_count >= self.conv_count_min:
+            self.finish_sim = True
+        return mean, std
+
+    def run(self, verbose: bool = True):
+        args = self.args
+        iterations = int(args.iterations[0])
+        max_seconds = parse_max_time(str(args.max_sim_time[0]))
+        t_start = time.time()
+        last_row = None
+        while (
+            self.current_timestep < iterations
+            and not self.finish_sim
+            and (time.time() - t_start) < max_seconds
+        ):
+            self.state, out = self.run_steps(self.state)
+            self.current_timestep += N_DT_TO_CONV
+            row = self._observe(out)
+            self.state = reset_ledgers(self.state)
+            self.window.append(row)
+            self._write_convergence(row)
+            last_row = row
+            if self.current_timestep % 100 == 0:
+                self._update_residue()
+                if verbose:
+                    info = "Timestep {:>5d} - max residue: {:>9.3e} ({:<9s}) [".format(
+                        self.current_timestep, self.max_residue, self.max_residue_qt
+                    )
+                    for t in row["T"]:
+                        info += " {:>7.3f}".format(t)
+                    info += " ]"
+                    print(info, flush=True)
+        self.write_final_state()
+        return last_row
+
+    # -------------------------------------------------------------- outputs
+
+    def occupation_of(self, state) -> np.ndarray:
+        omega = self.material.omega.reshape(-1)[np.asarray(state.mode)]
+        return np.asarray(state.dev, dtype=float) + bose_einstein(
+            self.params.t_reference, omega
+        )
+
+    def write_final_state(self):
+        s = self.state
+        alive = np.asarray(s.alive)
+        modes = np.asarray(s.mode)[alive]
+        q, j = self.material.mode_to_qj(modes)
+        writers.write_particle_data(
+            self.folder,
+            np.stack([q, j], axis=1),
+            np.asarray(s.pos)[alive],
+            self.occupation_of(s)[alive],
+            self.args.hdf_file, self.args.poscar_file,
+        )
+        if len(self.window) == 0:
+            return
+        W = list(self.window)
+        T = np.stack([w["T"] for w in W])
+        phi = np.stack([w["phi"] for w in W])
+        dom = self.domain
+        if dom.subvol_type == "slice":
+            k = np.stack([w["kappa_sv"] for w in W])
+            writers.write_subvolumes(
+                self.folder, dom.subvol_center, dom.subvol_volume,
+                T.mean(0), T.std(0), phi.mean(0), phi.std(0),
+                np.nanmean(k, 0), np.nanstd(k, 0),
+                self.args.hdf_file, self.args.poscar_file,
+            )
+        else:
+            writers.write_subvolumes(
+                self.folder, dom.subvol_center, dom.subvol_volume,
+                T.mean(0), T.std(0), phi.mean(0), phi.std(0),
+                None, None, self.args.hdf_file, self.args.poscar_file,
+            )
+            k = np.stack([w["kappa_con"] for w in W])
+            con = dom.subvol_connections
+            vec = dom.subvol_center[con[:, 1]] - dom.subvol_center[con[:, 0]]
+            dT = T[:, con[:, 1]] - T[:, con[:, 0]]
+            n = vec / np.linalg.norm(vec, axis=1, keepdims=True)
+            phi_con = np.einsum(
+                "wcj,cj->wc", (phi[:, con[:, 0]] + phi[:, con[:, 1]]) / 2, n
+            )
+            writers.write_subvol_connections(
+                self.folder, con, vec, dT.mean(0), dT.std(0),
+                phi_con.mean(0), phi_con.std(0), np.nanmean(k, 0), np.nanstd(k, 0),
+                self.args.hdf_file, self.args.poscar_file,
+            )

@@ -1,0 +1,235 @@
+"""Post-processing plots (host, matplotlib), reference classes/Visualisation.py.
+
+Generates the reference's figure set from the result files:
+  * convergence of T / heat flux / N_p / energy / kappa per subvolume
+    (plot_convergence_general, Visualisation.py:295-591)
+  * reservoir energy balance (convergence_energy_balance, :668-717)
+  * spectral kappa contribution per frequency band (flux_contribution, :593-666)
+  * particle scatter figures colored by property (Population.plot_figures)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from nanokappa_tpu.constants import HBAR  # noqa: E402
+
+
+def read_convergence(path: str, n_sv: int, n_res: int, subvol_type: str, n_con: int):
+    """Parse convergence.txt back into arrays (Visualisation.py:122-157)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            rows.append(line.split())
+    data = np.array(rows)
+    out = dict(
+        datetime=data[:, 0],
+        timestep=data[:, 1].astype(int),
+        sim_time=data[:, 2].astype(float),
+        total_en=data[:, 3].astype(float),
+        en_res=data[:, 4 : 4 + n_res].astype(float),
+        phi_res=data[:, 4 + n_res : 4 + 4 * n_res].astype(float),
+        N_p=data[:, 4 + 4 * n_res].astype(int),
+        T=data[:, 5 + 4 * n_res : 5 + 4 * n_res + n_sv].astype(float),
+        sv_en=data[:, 5 + 4 * n_res + n_sv : 5 + 4 * n_res + 2 * n_sv].astype(float),
+        sv_phi=data[:, 5 + 4 * n_res + 2 * n_sv : 5 + 4 * n_res + 5 * n_sv].astype(float),
+        sv_Np=data[:, 5 + 4 * n_res + 5 * n_sv : 5 + 4 * n_res + 6 * n_sv].astype(float),
+    )
+    base = 5 + 4 * n_res + 6 * n_sv
+    if subvol_type == "slice":
+        out["sv_k"] = data[:, base : base + n_sv].astype(float)
+        out["k"] = data[:, base + n_sv].astype(float)
+    else:
+        out["con_k"] = data[:, base : base + n_con].astype(float)
+    return out
+
+
+def plot_convergence(folder: str, conv: dict, subvol_type: str, theme: str = "white"):
+    t = conv["sim_time"]
+
+    def save(fig, name):
+        fig.tight_layout()
+        fig.savefig(os.path.join(folder, name))
+        plt.close(fig)
+
+    n_sv = conv["T"].shape[1]
+    cmap = plt.get_cmap("jet")
+    colors = cmap(np.linspace(0, 1, n_sv))
+
+    fig, ax = plt.subplots(figsize=(8, 5), dpi=120)
+    for i in range(n_sv):
+        ax.plot(t, conv["T"][:, i], color=colors[i], lw=1, label=f"Sv {i}")
+    ax.set_xlabel("Simulated time [ps]")
+    ax.set_ylabel("Temperature [K]")
+    ax.legend(fontsize="x-small", ncol=2)
+    save(fig, "convergence_T.png")
+
+    fig, ax = plt.subplots(figsize=(8, 5), dpi=120)
+    for i in range(n_sv):
+        ax.plot(t, conv["sv_phi"][:, 3 * i], color=colors[i], lw=1, label=f"Sv {i}")
+    ax.set_xlabel("Simulated time [ps]")
+    ax.set_ylabel("Heat flux x [W/m$^2$]")
+    ax.legend(fontsize="x-small", ncol=2)
+    save(fig, "convergence_phi.png")
+
+    fig, ax = plt.subplots(figsize=(8, 5), dpi=120)
+    ax.plot(t, conv["N_p"], "k-", lw=1)
+    ax.set_xlabel("Simulated time [ps]")
+    ax.set_ylabel("Number of particles")
+    save(fig, "convergence_Np.png")
+
+    fig, ax = plt.subplots(figsize=(8, 5), dpi=120)
+    for i in range(n_sv):
+        ax.plot(t, conv["sv_en"][:, i], color=colors[i], lw=1, label=f"Sv {i}")
+    ax.set_xlabel("Simulated time [ps]")
+    ax.set_ylabel("Energy density [eV/$\\AA^3$]")
+    ax.legend(fontsize="x-small", ncol=2)
+    save(fig, "convergence_e.png")
+
+    fig, ax = plt.subplots(figsize=(8, 5), dpi=120)
+    if subvol_type == "slice":
+        for i in range(n_sv):
+            ax.plot(t, conv["sv_k"][:, i], color=colors[i], lw=0.8, label=f"Sv {i}")
+        ax.plot(t, conv["k"], "k-", lw=2, label="total")
+        n_mean = min(len(t), 10)
+        kmean = conv["k"][-n_mean:].mean()
+        kstd = conv["k"][-n_mean:].std()
+        ax.axhline(kmean, color="gray", ls="--", lw=1)
+        ax.set_title(f"$\\kappa$ = {kmean:.2f} $\\pm$ {kstd:.2f} W/m·K (last {n_mean} pts)")
+    else:
+        for i in range(conv["con_k"].shape[1]):
+            ax.plot(t, conv["con_k"][:, i], lw=0.8, label=f"Con {i}")
+    ax.set_xlabel("Simulated time [ps]")
+    ax.set_ylabel("$\\kappa$ [W/m·K]")
+    ax.legend(fontsize="x-small", ncol=2)
+    save(fig, "convergence_kappa.png")
+
+
+def plot_energy_balance(folder: str, conv: dict):
+    fig, ax = plt.subplots(figsize=(8, 5), dpi=120)
+    t = conv["sim_time"]
+    for i in range(conv["en_res"].shape[1]):
+        ax.plot(t, conv["en_res"][:, i], lw=1, label=f"Res {i}")
+    ax.plot(t, conv["en_res"].sum(axis=1), "k--", lw=1, label="total")
+    ax.axhline(0, color="gray", lw=0.5)
+    ax.set_xlabel("Simulated time [ps]")
+    ax.set_ylabel("Energy balance [eV/ps]")
+    ax.legend(fontsize="small")
+    fig.tight_layout()
+    fig.savefig(os.path.join(folder, "convergence_en_balance.png"))
+    plt.close(fig)
+
+
+def plot_particles(folder: str, positions: np.ndarray, colors: np.ndarray,
+                   label: str, name: str, colormap: str = "jet"):
+    fig = plt.figure(figsize=(8, 6), dpi=120)
+    ax = fig.add_subplot(projection="3d")
+    n = len(positions)
+    sel = np.random.default_rng(0).choice(n, size=min(n, 20000), replace=False)
+    sc = ax.scatter(
+        positions[sel, 0], positions[sel, 1], positions[sel, 2],
+        c=colors[sel], s=1, cmap=colormap,
+    )
+    fig.colorbar(sc, label=label, shrink=0.6)
+    ax.set_box_aspect(np.ptp(positions, axis=0) + 1e-9)
+    fig.tight_layout()
+    fig.savefig(os.path.join(folder, name))
+    plt.close(fig)
+
+
+def spectral_kappa(sim, n_bands: int = 100):
+    """Spectral kappa contribution per frequency band along the transport axis
+    (flux_contribution, Visualisation.py:593-666): per-band heat flux divided
+    by the total applied gradient."""
+    import numpy as np
+
+    s = sim.state
+    alive = np.asarray(s.alive)
+    modes = np.asarray(s.mode)[alive]
+    mat = sim.material
+    omega = mat.omega.reshape(-1)[modes]
+    vel = mat.group_vel.reshape(-1, 3)[modes]
+    occ = sim.occupation_of(s)[alive]
+    T_sv = np.asarray(s.T_sv, dtype=float)
+    sv = np.asarray(s.sv_id)[alive]
+    from nanokappa_tpu.material.tables import bose_einstein
+
+    dn = occ - bose_einstein(T_sv[sv], omega)
+    e = HBAR * omega * dn
+
+    dom = sim.domain
+    axis = dom.slice_axis
+    L = np.ptp(dom.bounds[:, axis])
+    res_T = sim.res_T_pad
+    dTdx = (res_T[-1] - res_T[0]) / (L * 1e-10)
+
+    bands = np.linspace(0, mat.omega.max() * 1.000001, n_bands + 1)
+    idx = np.digitize(omega, bands) - 1
+    phi_band = np.zeros(n_bands)
+    np.add.at(phi_band, idx, e * vel[:, axis])
+    norm = mat.n_active_modes / max(alive.sum(), 1)
+    phi_band *= norm / (mat.n_qpoints * mat.volume_unitcell)
+    from nanokappa_tpu.constants import EVPSA2_IN_WM2
+
+    phi_band *= EVPSA2_IN_WM2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        k_band = -phi_band / dTdx
+    centers = (bands[:-1] + bands[1:]) / 2
+    return centers, k_band
+
+
+def postprocess(sim, verbose: bool = False):
+    folder = sim.folder
+    dom = sim.domain
+    conv = read_convergence(
+        os.path.join(folder, "convergence.txt"),
+        dom.n_of_subvols, dom.n_of_reservoirs, dom.subvol_type,
+        len(dom.subvol_connections),
+    )
+    plot_convergence(folder, conv, dom.subvol_type)
+    if dom.n_of_reservoirs:
+        plot_energy_balance(folder, conv)
+
+    # particle scatters
+    s = sim.state
+    alive = np.asarray(s.alive)
+    pos = np.asarray(s.pos)[alive]
+    fig_props = list(sim.args.fig_plot) or ["energy"]
+    mat = sim.material
+    omega = mat.omega.reshape(-1)[np.asarray(s.mode)[alive]]
+    for prop in fig_props:
+        if prop in ("T", "temperature", "temperatures"):
+            T_sv = np.asarray(s.T_sv, dtype=float)
+            colors = T_sv[np.asarray(s.sv_id)[alive]]
+            plot_particles(folder, pos, colors, "Temperature [K]", "fig_temperature.png")
+        elif prop in ("omega", "angular_frequency", "frequency"):
+            plot_particles(folder, pos, omega, "$\\omega$ [rad THz]", "fig_omega.png")
+        elif prop in ("n", "occupation"):
+            colors = np.asarray(s.dev)[alive]
+            plot_particles(folder, pos, colors, "occupation deviation", "fig_occupation.png")
+        elif prop in ("e", "energy"):
+            colors = HBAR * omega * np.asarray(s.dev)[alive]
+            plot_particles(folder, pos, colors, "energy deviation [eV]", "fig_energy.png")
+        elif prop in ("sv", "subvolumes", "subvolume"):
+            colors = np.asarray(s.sv_id)[alive].astype(float)
+            plot_particles(folder, pos, colors, "subvolume", "fig_subvol.png")
+
+    # spectral kappa (slice only)
+    if dom.subvol_type == "slice" and dom.n_of_reservoirs >= 2:
+        centers, k_band = spectral_kappa(sim)
+        fig, ax = plt.subplots(figsize=(8, 5), dpi=120)
+        ax.bar(centers, k_band, width=centers[1] - centers[0])
+        ax.set_xlabel("$\\omega$ [rad THz]")
+        ax.set_ylabel("$\\kappa$ contribution [W/m·K]")
+        fig.tight_layout()
+        fig.savefig(os.path.join(folder, "k_contribution.png"))
+        plt.close(fig)

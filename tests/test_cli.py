@@ -1,0 +1,111 @@
+"""End-to-end CLI test: parameter file -> simulation -> result files.
+
+Mirrors the reference's canonical smoke run (parameters_test.txt, README
+install check) at reduced scale."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from nanokappa_tpu.io.config import read_args, generate_results_folder
+from nanokappa_tpu.material import write_synthetic_hdf5
+
+
+@pytest.fixture(scope="module")
+def matdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mat")
+    write_synthetic_hdf5(str(d), mesh=(4, 4, 4))
+    return str(d)
+
+
+def make_params_file(tmp_path, matdir, extra=""):
+    params = f"""
+--mat_folder       {matdir}
+--hdf_file         kappa-m444.hdf5
+--poscar_file      POSCAR
+--geometry         box
+--dimensions       5e3 1e3 1e3
+--scale            1 1 1
+--geo_rotation     0 0 0 xyz
+--subvolumes       slice 10 0
+--bound_pos        relative -0.1 0.5 0.5 1.1 0.5 0.5 0.5 0.5 -0.1 0.5 0.5 1.1
+--bound_cond       T T R R P
+--connect_pos      relative 0.5 -0.1 0.5 0.5 1.1 0.5
+--bound_values     302 298 0 0
+--temp_dist        linear
+--temp_interp      linear
+--particles        total 5e3
+--part_dist        random_subvol
+--timestep         1
+--iterations       100
+--n_mean           5
+--results_folder   {tmp_path}/test_results/test
+--conv_crit        0 10
+--colormap         jet
+--fig_plot         energy
+--output           screen
+--max_sim_time     0-00:10:00
+{extra}
+"""
+    p = tmp_path / "parameters_test.txt"
+    p.write_text(params)
+    return str(p)
+
+
+def test_cli_end_to_end(tmp_path, matdir):
+    from nanokappa_tpu.cli import main
+
+    pfile = make_params_file(tmp_path, matdir)
+    main(["-ff", pfile])
+
+    folder = str(tmp_path / "test_results" / "test_0")
+    assert os.path.isdir(folder)
+    for fname in ["arguments.txt", "convergence.txt", "residue.txt",
+                  "particle_data.txt", "subvolumes.txt",
+                  "convergence_T.png", "convergence_kappa.png", "fig_energy.png"]:
+        assert os.path.exists(os.path.join(folder, fname)), fname
+
+    # convergence file parses with the reference column layout
+    from nanokappa_tpu.visual import read_convergence
+
+    conv = read_convergence(os.path.join(folder, "convergence.txt"), 10, 2, "slice", 9)
+    assert conv["T"].shape == (10, 10)
+    assert np.all(conv["T"] > 297) and np.all(conv["T"] < 303)
+    assert conv["timestep"][-1] == 100
+
+    # arguments.txt round-trips as a valid parameter file
+    args2 = read_args(["-ff", os.path.join(folder, "arguments.txt")])
+    assert args2.iterations[0] == 100
+    assert [float(x) for x in args2.bound_values] == [302, 298, 0, 0]
+
+
+def test_cli_resume_from_particle_data(tmp_path, matdir):
+    from nanokappa_tpu.cli import main
+
+    pfile = make_params_file(tmp_path, matdir)
+    main(["-ff", pfile])
+    folder = str(tmp_path / "test_results" / "test_0")
+    pdata = os.path.join(folder, "particle_data.txt")
+
+    pfile2 = make_params_file(tmp_path, matdir, extra=f"--part_dist {pdata}\n")
+    # overwrite the results folder name to avoid clashes
+    main(["-ff", pfile2])
+    folder2 = str(tmp_path / "test_results" / "test_1")
+    assert os.path.exists(os.path.join(folder2, "convergence.txt"))
+
+
+def test_results_folder_indexing(tmp_path):
+    class A:
+        results_folder = [str(tmp_path / "run")]
+
+    a1 = generate_results_folder(A())
+    assert a1.results_folder.endswith("run_0")
+
+    class B:
+        results_folder = [str(tmp_path / "run")]
+
+    a2 = generate_results_folder(B())
+    assert a2.results_folder.endswith("run_1")
