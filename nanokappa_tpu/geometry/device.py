@@ -48,6 +48,11 @@ class DeviceGeometry:
     subvol_volume: jax.Array  # (SV,)
     bounds: jax.Array  # (2,3)
 
+    # axis-aligned-box fast path (empty arrays when not a box)
+    box_axis: jax.Array  # (NF,) i32 axis of each facet plane
+    box_sign: jax.Array  # (NF,) f32 outward direction sign
+    box_plane: jax.Array  # (NF,) f32 plane coordinate
+
     n_facets: int = field(metadata=dict(static=True))
     n_reservoirs: int = field(metadata=dict(static=True))
     n_rough: int = field(metadata=dict(static=True))
@@ -55,6 +60,7 @@ class DeviceGeometry:
     subvol_type: str = field(metadata=dict(static=True))
     slice_axis: int = field(metadata=dict(static=True))
     volume: float = field(metadata=dict(static=True))
+    is_box: bool = field(metadata=dict(static=True), default=False)
 
 
 def build_device_geometry(domain: Domain, dtype=jnp.float32) -> DeviceGeometry:
@@ -95,6 +101,29 @@ def build_device_geometry(domain: Domain, dtype=jnp.float32) -> DeviceGeometry:
         res_tri_idx = np.zeros((0, 1), dtype=np.int32)
         res_tri_cdf = np.ones((0, 1))
 
+    # axis-aligned-box detection: 6 facets whose normals are +-e_i and whose
+    # triangles all lie on the facet plane -> collision times become per-axis
+    # slab arithmetic instead of triangle intersection
+    is_box = False
+    box_axis = np.zeros(nf, dtype=np.int32)
+    box_sign = np.zeros(nf)
+    box_plane = np.zeros(nf)
+    if nf == 6:
+        is_box = True
+        for f in range(6):
+            n = mesh.facet_normals[f]
+            ax = int(np.argmax(np.abs(n)))
+            if abs(abs(n[ax]) - 1.0) > 1e-9 or np.abs(np.delete(n, ax)).max() > 1e-9:
+                is_box = False
+                break
+            pts = mesh.tri[mesh.facets[f]].reshape(-1, 3)
+            if np.ptp(pts[:, ax]) > 1e-6:
+                is_box = False
+                break
+            box_axis[f] = ax
+            box_sign[f] = np.sign(n[ax])
+            box_plane[f] = pts[0, ax]
+
     return DeviceGeometry(
         tri_origin=jnp.asarray(tri_origin, dtype=dtype),
         tri_e1=jnp.asarray(tri_e1, dtype=dtype),
@@ -119,6 +148,9 @@ def build_device_geometry(domain: Domain, dtype=jnp.float32) -> DeviceGeometry:
         res_normal=jnp.asarray(
             mesh.facet_normals[domain.res_facets], dtype=dtype
         ),
+        box_axis=jnp.asarray(box_axis),
+        box_sign=jnp.asarray(box_sign, dtype=dtype),
+        box_plane=jnp.asarray(box_plane, dtype=dtype),
         subvol_center=jnp.asarray(domain.subvol_center, dtype=dtype),
         subvol_volume=jnp.asarray(domain.subvol_volume, dtype=dtype),
         bounds=jnp.asarray(mesh.bounds, dtype=dtype),
@@ -129,4 +161,5 @@ def build_device_geometry(domain: Domain, dtype=jnp.float32) -> DeviceGeometry:
         subvol_type=domain.subvol_type,
         slice_axis=domain.slice_axis,
         volume=float(mesh.volume),
+        is_box=is_box,
     )

@@ -165,8 +165,13 @@ class TriMesh:
         )
         out = np.zeros(points.shape[0], dtype=bool)
         if np.any(inb):
+            # incommensurate direction: never aligned with mesh edges/faces of
+            # axis-aligned or symmetric geometries (avoids double-counted
+            # edge crossings; the reference disambiguates duplicate hits
+            # explicitly, classes/Mesh.py:149-153)
             d = np.tile(
-                np.array([0.5773502692, 0.5773502692, 0.5773502692]), (int(inb.sum()), 1)
+                np.array([0.5385125363, 0.3122954034, 0.7826247243]),
+                (int(inb.sum()), 1),
             )
             out[inb] = self._count_crossings(points[inb], d) % 2 == 1
         return out

@@ -70,8 +70,7 @@ def lookup_E_of_T(mat: MaterialTables, T: jax.Array) -> jax.Array:
 
 
 def particle_energies(
-    mat: MaterialTables,
-    mode: jax.Array,
+    omega: jax.Array,
     dev: jax.Array,
     alive: jax.Array,
     T_local: jax.Array,
@@ -79,9 +78,54 @@ def particle_energies(
 ) -> jax.Array:
     """e_p = hbar*omega*(n - n0(T_local)) per particle, eV
     (classes/Population.py:704-713 with reference_temp='local')."""
-    omega = mat.omega[mode]
     dn = dev - occupation_delta_T(T_local, t_reference, omega)
     return jnp.where(alive, HBAR * omega * dn, 0.0)
+
+
+def bin_all(
+    geo: DeviceGeometry,
+    mat: MaterialTables,
+    energies: jax.Array,  # (N,)
+    vel: jax.Array,  # (N,3)
+    sv: jax.Array,
+    alive: jax.Array,
+    energy_normal: str,
+    particle_density: float,
+    psum=lambda x: x,
+):
+    """All subvolume reductions in ONE padded segment_sum:
+    values (N,5) = [e, e*vx, e*vy, e*vz, alive]. Returns
+    (E_dev_sv (SV,), phi_sv (SV,3) in eV/ps/A^2, Np_sv (SV,) i32).
+
+    Reference classes/Population.py:704-747. Under particle-axis sharding
+    `psum` all-reduces the raw sums over ICI before normalisation — the only
+    cross-particle communication in the entire algorithm."""
+    n_sv = geo.n_subvols
+    n_pad = max(8, -(-(n_sv + 1) // 8) * 8)
+    seg = jnp.where(alive, sv, n_pad - 1)
+    vals = jnp.concatenate(
+        [
+            energies[:, None],
+            energies[:, None] * vel,
+            alive.astype(energies.dtype)[:, None],
+        ],
+        axis=1,
+    )  # (N,5)
+    sums = psum(jax.ops.segment_sum(vals, seg, num_segments=n_pad))[:n_sv]
+    e_sv = sums[:, 0]
+    phi = sums[:, 1:4]
+    np_sv = sums[:, 4].astype(jnp.int32)
+
+    if energy_normal == "fixed":
+        norm = mat.n_active_modes / (particle_density * geo.subvol_volume)
+        norm = jnp.asarray(norm, dtype=e_sv.dtype)
+    else:  # 'mean'
+        norm = mat.n_active_modes / jnp.maximum(np_sv, 1).astype(e_sv.dtype)
+        norm = jnp.where(np_sv == 0, 0.0, norm)
+    dens = 1.0 / (mat.n_qpoints * mat.volume_unitcell)
+    e_sv = e_sv * norm * dens
+    phi = phi * (norm * dens)[:, None]
+    return e_sv, phi, np_sv
 
 
 def bin_energy(

@@ -15,6 +15,11 @@ by a bounded `lax.while_loop` over full-width masked updates:
 
 Particle order and shapes never change; absorbed particles simply clear the
 alive mask (their slots are refilled by reservoir injection next step).
+
+TPU specifics: group velocity / omega are read from the per-particle cache
+(state.vel/state.omega) rather than gathered from the (M,) mode tables every
+round; the reservoir ledgers reduce through ONE segment_sum with the segment
+count padded to a lane-friendly multiple of 8.
 """
 
 from __future__ import annotations
@@ -35,12 +40,18 @@ from nanokappa_tpu.sim.bose import occupation_delta_T, occupation_delta_omega
 from nanokappa_tpu.sim.boundary_tables import BoundaryTables
 from nanokappa_tpu.sim.state import SimParams, SimState, STALE
 
-_REMAIN_EPS = 1e-6  # fraction of dt below which the remaining path is dust
+_REMAIN_EPS = 1e-5  # fraction of dt below which the remaining path is dust
+
+
+def _pad8(n: int) -> int:
+    return max(8, -(-n // 8) * 8)
 
 
 class _Carry(NamedTuple):
     pos: jax.Array
     mode: jax.Array
+    vel: jax.Array
+    omega: jax.Array
     dev: jax.Array
     alive: jax.Array
     t_coll: jax.Array
@@ -48,9 +59,7 @@ class _Carry(NamedTuple):
     on_facet: jax.Array
     remaining: jax.Array
     T_sv: jax.Array  # (SV,) pre-step subvolume temperatures (constant here)
-    res_energy: jax.Array  # (R,)
-    res_flux: jax.Array  # (R,3)
-    n_leaving: jax.Array  # (R,)
+    ledger: jax.Array  # (R8, 5): [energy, flux xyz, absorbed count]
     lost: jax.Array  # ()
     key: jax.Array
     round: jax.Array  # ()
@@ -70,6 +79,7 @@ def run_cascade(
 ) -> SimState:
     dt = params.dt
     R = geo.n_reservoirs
+    R8 = _pad8(R + 1)
 
     def pvary(x):
         # inside shard_map the ledger accumulators start replicated but become
@@ -79,13 +89,15 @@ def run_cascade(
 
     # refresh stale ray casts (fresh injections / first step / resamples)
     stale = (state.coll_facet == STALE) & state.alive
-    t_ps, facet = raycast(geo, state.pos, mat.velocity[state.mode], on_facet)
+    t_ps, facet = raycast(geo, state.pos, state.vel, on_facet)
     t_coll = jnp.where(stale, t_ps / dt, state.t_coll)
     coll_facet = jnp.where(stale, facet, state.coll_facet)
 
     carry = _Carry(
         pos=state.pos,
         mode=state.mode,
+        vel=state.vel,
+        omega=state.omega,
         dev=state.dev,
         alive=state.alive,
         t_coll=t_coll.astype(jnp.float32),
@@ -93,9 +105,7 @@ def run_cascade(
         on_facet=on_facet,
         remaining=remaining,
         T_sv=state.T_sv,
-        res_energy=pvary(jnp.zeros(R, dtype=jnp.float32)),
-        res_flux=pvary(jnp.zeros((R, 3), dtype=jnp.float32)),
-        n_leaving=pvary(jnp.zeros(R, dtype=jnp.int32)),
+        ledger=pvary(jnp.zeros((R8, 5), dtype=jnp.float32)),
         lost=pvary(jnp.zeros((), jnp.int32)),
         key=key,
         round=jnp.zeros((), jnp.int32),
@@ -106,7 +116,9 @@ def run_cascade(
             c.round < params.k_max
         )
 
-    body = partial(_cascade_round, geo=geo, mat=mat, btab=btab, params=params)
+    body = partial(
+        _cascade_round, geo=geo, mat=mat, btab=btab, params=params, R8=R8
+    )
     out = jax.lax.while_loop(cond, body, carry)
 
     # particles that ran out of rounds: quarantine like the reference's
@@ -118,14 +130,14 @@ def run_cascade(
     # all-reduce the per-shard ledger deltas AFTER the data-dependent loop so
     # no collective ever sits inside the while_loop body (shards may run a
     # different number of rounds)
-    res_energy_d = psum(out.res_energy)
-    res_flux_d = psum(out.res_flux)
-    n_leaving_d = psum(out.n_leaving)
+    ledger = psum(out.ledger)
     lost_d = psum(lost)
 
     return SimState(
         pos=out.pos,
         mode=out.mode,
+        vel=out.vel,
+        omega=out.omega,
         dev=out.dev,
         alive=alive,
         t_coll=out.t_coll,
@@ -134,9 +146,9 @@ def run_cascade(
         T_sv=state.T_sv,
         Np_sv=state.Np_sv,
         res_counter=state.res_counter,
-        n_leaving=n_leaving_d,
-        res_energy_balance=state.res_energy_balance + res_energy_d,
-        res_heat_flux=state.res_heat_flux + res_flux_d,
+        n_leaving=ledger[:R, 4].astype(jnp.int32),
+        res_energy_balance=state.res_energy_balance - ledger[:R, 0],
+        res_heat_flux=state.res_heat_flux + ledger[:R, 1:4],
         lost=state.lost + lost_d,
         key=state.key,
         step=state.step,
@@ -149,20 +161,19 @@ def _cascade_round(
     mat: MaterialTables,
     btab: BoundaryTables,
     params: SimParams,
+    R8: int,
 ) -> _Carry:
     dt = params.dt
-    R = geo.n_reservoirs
     key = jax.random.fold_in(c.key, c.round)
     k_spec, k_diff, k_deg = jax.random.split(key, 3)
 
-    vel = mat.velocity[c.mode]  # (N,3)
     active = c.alive & (c.remaining > _REMAIN_EPS)
     defective = active & (c.coll_facet == -1)  # ray cast found no boundary
     hit = active & ~defective & (c.t_coll < c.remaining)
     drift_only = active & ~defective & ~hit
 
     # --- III. pure drift: advance the remaining fraction -----------------------
-    pos = c.pos + vel * (dt * jnp.where(drift_only, c.remaining, 0.0))[:, None]
+    pos = c.pos + c.vel * (dt * jnp.where(drift_only, c.remaining, 0.0))[:, None]
     t_coll = jnp.where(drift_only, c.t_coll - c.remaining, c.t_coll)
     remaining = jnp.where(drift_only, 0.0, c.remaining)
 
@@ -172,34 +183,33 @@ def _cascade_round(
     lost = c.lost + defective.sum(dtype=jnp.int32)
 
     # --- move hit particles to their collision point ---------------------------
-    pos = pos + vel * (dt * jnp.where(hit, c.t_coll, 0.0))[:, None]
+    pos = pos + c.vel * (dt * jnp.where(hit, c.t_coll, 0.0))[:, None]
     remaining = jnp.where(hit, remaining - c.t_coll, remaining)
 
     cf = jnp.clip(c.coll_facet, 0, geo.n_facets - 1)
     bc = geo.facet_bc[cf]
-    omega = mat.omega[c.mode]
 
     # --- I. absorption at reservoirs (T / F) -----------------------------------
     absorb = hit & ((bc == int(BC.TEMPERATURE)) | (bc == int(BC.FLUX)))
     res_id = geo.facet_res[cf]
     T_res = geo.facet_value[cf]
-    dn_abs = c.dev - occupation_delta_T(T_res, params.t_reference, omega)
-    e_abs = HBAR * omega * dn_abs
+    dn_abs = c.dev - occupation_delta_T(T_res, params.t_reference, c.omega)
+    e_abs = HBAR * c.omega * dn_abs
     n_out = geo.facet_normal[cf]
-    vdn = jnp.einsum("nj,nj->n", vel, n_out)
-    flux_w = jnp.where(jnp.abs(vdn) > 1e-12, 1.0 / vdn, 0.0)
-    seg = jnp.where(absorb & (res_id >= 0), res_id, R)
-    res_energy = c.res_energy - jax.ops.segment_sum(
-        jnp.where(absorb, e_abs, 0.0), seg, num_segments=R + 1
-    )[:R]
-    res_flux = c.res_flux + jax.ops.segment_sum(
-        jnp.where(absorb, e_abs * flux_w, 0.0)[:, None] * vel,
-        seg,
-        num_segments=R + 1,
-    )[:R]
-    n_leaving = c.n_leaving + jax.ops.segment_sum(
-        absorb.astype(jnp.int32), seg, num_segments=R + 1
-    )[:R]
+    vdn = jnp.einsum("nj,nj->n", c.vel, n_out)
+    flux_w = jnp.where(jnp.abs(vdn) > 1e-12, e_abs / vdn, 0.0)
+    seg = jnp.where(absorb & (res_id >= 0), res_id, R8 - 1)
+    vals = jnp.stack(
+        [
+            jnp.where(absorb, e_abs, 0.0),
+            jnp.where(absorb, flux_w, 0.0) * c.vel[:, 0],
+            jnp.where(absorb, flux_w, 0.0) * c.vel[:, 1],
+            jnp.where(absorb, flux_w, 0.0) * c.vel[:, 2],
+            absorb.astype(jnp.float32),
+        ],
+        axis=1,
+    )  # (N,5)
+    ledger = c.ledger + jax.ops.segment_sum(vals, seg, num_segments=R8)
     alive = alive & ~absorb
     remaining = jnp.where(absorb, 0.0, remaining)
 
@@ -230,9 +240,6 @@ def _cascade_round(
         u_deg = jax.random.uniform(k_deg, partner.shape)
         swap = spec & (partner >= 0) & (u_deg >= 0.5)
         mode_spec = jnp.where(swap, partner, mode_spec)
-    dev_spec = c.dev + occupation_delta_omega(
-        params.t_reference, omega, mat.omega[mode_spec]
-    )
 
     # diffuse: roulette over the facet's creation CDF (one searchsorted per
     # unique table row), occupation at the local wall temperature
@@ -242,25 +249,36 @@ def _cascade_round(
         m_r = jnp.searchsorted(btab.diffuse_cdf[r], u_diff).astype(jnp.int32)
         m_r = jnp.minimum(m_r, btab.diffuse_cdf.shape[1] - 1)
         mode_diff = jnp.where(diff & (row == r), m_r, mode_diff)
+
+    changed = spec | diff
+    mode = jnp.where(spec, mode_spec, jnp.where(diff, mode_diff, c.mode))
+    omega_new = jnp.where(changed, mat.omega[mode], c.omega)
+    vel_new = jnp.where(changed[:, None], mat.velocity[mode], c.vel)
+
     sv_here = _subvol_of(geo, pos)
     T_wall = interp_T_particles(geo, c.T_sv, pos, sv_here, params.temp_interp)
-    dev_diff = occupation_delta_T(
-        T_wall, params.t_reference, mat.omega[mode_diff]
+    dev = jnp.where(
+        spec,
+        c.dev + occupation_delta_omega(params.t_reference, c.omega, omega_new),
+        jnp.where(
+            diff,
+            occupation_delta_T(T_wall, params.t_reference, omega_new),
+            c.dev,
+        ),
     )
-
-    mode = jnp.where(spec, mode_spec, jnp.where(diff, mode_diff, c.mode))
-    dev = jnp.where(spec, dev_spec, jnp.where(diff, dev_diff, c.dev))
     on_facet = jnp.where(ref, cf, on_facet)
 
     # --- IV. re-cast translated/reflected particles ----------------------------
     recast = per | ref
-    t_ps, facet_new = raycast(geo, pos, mat.velocity[mode], on_facet)
+    t_ps, facet_new = raycast(geo, pos, vel_new, on_facet)
     t_coll = jnp.where(recast, t_ps / dt, t_coll)
     coll_facet = jnp.where(recast, facet_new, c.coll_facet)
 
     return _Carry(
         pos=pos,
         mode=mode,
+        vel=vel_new,
+        omega=omega_new,
         dev=dev,
         alive=alive,
         t_coll=t_coll,
@@ -268,9 +286,7 @@ def _cascade_round(
         on_facet=on_facet,
         remaining=jnp.maximum(remaining, 0.0),
         T_sv=c.T_sv,
-        res_energy=res_energy,
-        res_flux=res_flux,
-        n_leaving=n_leaving,
+        ledger=ledger,
         lost=lost,
         key=c.key,
         round=c.round + 1,

@@ -194,7 +194,9 @@ def inject(
 
     # occupation at reservoir temperature (classes/Population.py:505-506)
     T_res = geo.res_temperature[inj_res]
-    inj_dev = occupation_delta_T(T_res, params.t_reference, mat.omega[inj_mode])
+    inj_omega = mat.omega[inj_mode]
+    inj_vel = mat.velocity[inj_mode]
+    inj_dev = occupation_delta_T(T_res, params.t_reference, inj_omega)
     inj_facet = geo.res_facet[inj_res]
 
     # --- write into dead slots -------------------------------------------------
@@ -206,6 +208,8 @@ def inject(
 
     pos = jnp.where(take[:, None], inj_pos[src], state.pos)
     mode = jnp.where(take, inj_mode[src], state.mode)
+    vel = jnp.where(take[:, None], inj_vel[src], state.vel)
+    omega = jnp.where(take, inj_omega[src], state.omega)
     dev = jnp.where(take, inj_dev[src], state.dev)
     alive = state.alive | take
     coll_facet = jnp.where(take, STALE, state.coll_facet)
@@ -221,6 +225,8 @@ def inject(
     new_state = SimState(
         pos=pos,
         mode=mode,
+        vel=vel,
+        omega=omega,
         dev=dev,
         alive=alive,
         t_coll=jnp.where(take, jnp.inf, state.t_coll),

@@ -34,12 +34,12 @@ def rta_scatter(
     mat: MaterialTables,
     dev: jax.Array,
     mode: jax.Array,
+    omega: jax.Array,  # cached per-particle omega (state.omega)
     T_local: jax.Array,
     alive: jax.Array,
     dt: float,
     t_reference: float,
 ) -> jax.Array:
-    omega = mat.omega[mode]
     g = occupation_delta_T(T_local, t_reference, omega)
     tau = lifetime_lookup(mat, T_local, mode)
     decay = jnp.where(tau > 0, jnp.exp(-dt / jnp.maximum(tau, 1e-12)), 0.0)

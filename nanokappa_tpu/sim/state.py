@@ -52,6 +52,11 @@ class SimState:
     # particle pool (N = capacity)
     pos: jax.Array  # (N,3) f32, angstrom
     mode: jax.Array  # (N,) i32 flattened mode index
+    vel: jax.Array  # (N,3) f32 cached group velocity of `mode` (A/ps) —
+    #   random-index gathers from the (M,) tables are the most expensive
+    #   primitive on TPU, so per-mode properties are cached per particle and
+    #   refreshed only when the mode changes (reflection / injection)
+    omega: jax.Array  # (N,) f32 cached angular frequency of `mode`
     dev: jax.Array  # (N,) f32 occupation deviation n - n0(T_ref)
     alive: jax.Array  # (N,) bool
     t_coll: jax.Array  # (N,) f32 time to next boundary hit, in dt units
@@ -197,9 +202,12 @@ def init_state(
     alive = np.zeros(n_cap, dtype=bool)
     alive[slots] = True
 
+    vel_p = mat.group_vel.reshape(-1, 3)[modes]
     return SimState(
         pos=jnp.asarray(full(positions.astype(np.float32), 0.0)),
         mode=jnp.asarray(full(modes.astype(np.int32), 0)),
+        vel=jnp.asarray(full(vel_p.astype(np.float32), 0.0)),
+        omega=jnp.asarray(full(omega_p.astype(np.float32), 0.0)),
         dev=jnp.asarray(full(dev.astype(np.float32), 0.0)),
         alive=jnp.asarray(alive),
         t_coll=jnp.full(n_cap, np.inf, dtype=jnp.float32),

@@ -22,8 +22,7 @@ from nanokappa_tpu.constants import EVPSA2_IN_WM2
 from nanokappa_tpu.geometry.device import DeviceGeometry
 from nanokappa_tpu.material.tables import MaterialTables
 from nanokappa_tpu.sim.binning import (
-    bin_energy,
-    bin_heat_flux,
+    bin_all,
     interp_T_particles,
     lookup_E_of_T,
     lookup_T_of_E,
@@ -97,37 +96,34 @@ def make_step(
         # 3. rebin + refresh temperatures (classes/Population.py:685-728)
         sv = subvol_id(geo, state.pos)
         # dn is taken against the *subvolume* temperature, not the particle-
-        # interpolated one (classes/Population.py:707)
+        # interpolated one (classes/Population.py:707); heat flux uses the
+        # pre-scatter energies (classes/Population.py:1754-1763)
         energies = particle_energies(
-            mat, state.mode, state.dev, state.alive,
+            state.omega, state.dev, state.alive,
             state.T_sv[sv], params.t_reference,
         )
-        e_dev_sv, np_sv = bin_energy(
-            geo, mat, energies, sv, state.alive,
+        e_dev_sv, phi, np_sv = bin_all(
+            geo, mat, energies, state.vel, sv, state.alive,
             params.energy_normal, params.particle_density, psum,
         )
+        phi = phi * EVPSA2_IN_WM2
         E_sv = e_dev_sv + lookup_E_of_T(mat, state.T_sv)
         T_sv_new = lookup_T_of_E(mat, E_sv)
 
         # particle temperatures from the *new* profile
         T_p = interp_T_particles(geo, T_sv_new, state.pos, sv, params.temp_interp)
 
-        # heat flux with pre-scatter energies (reference uses the energies
-        # computed in refresh_temperatures, classes/Population.py:1754-1763)
-        phi = bin_heat_flux(
-            geo, mat, energies, state.mode, sv, state.alive, np_sv,
-            params.energy_normal, params.particle_density, psum,
-        ) * EVPSA2_IN_WM2
-
         # 4. RTA scattering toward the local equilibrium
         dev = rta_scatter(
-            mat, state.dev, state.mode, T_p, state.alive,
+            mat, state.dev, state.mode, state.omega, T_p, state.alive,
             params.dt, params.t_reference,
         )
 
         new_state = SimState(
             pos=state.pos,
             mode=state.mode,
+            vel=state.vel,
+            omega=state.omega,
             dev=dev,
             alive=state.alive,
             t_coll=state.t_coll,
