@@ -45,6 +45,14 @@ def main(argv=None):
     )
     print(f"Particles: {sim.n_p_target} (pool capacity {sim.params.n_cap})", flush=True)
 
+    try:
+        from nanokappa_tpu.visual import plot_geometry, plot_material
+
+        plot_material(sim.material, args.results_folder)
+        plot_geometry(sim.domain, args.results_folder)
+    except Exception as e:
+        print("init plots failed:", e)
+
     sim.run()
 
     try:

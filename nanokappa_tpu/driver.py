@@ -174,6 +174,18 @@ class Simulation:
         self.current_timestep = 0
         self.res_T_pad = res_T if len(res_T) >= 2 else np.array([300.0, 300.0])
 
+        # escape self-healing pool (reference contains_check,
+        # classes/Population.py:1712-1722)
+        import jax.numpy as jnp
+        from nanokappa_tpu.sim.repair import make_contains_check
+
+        pool = self.domain.mesh.sample_volume(1 << 13, np.random.default_rng(1))
+        self.contains_check = make_contains_check(
+            self.geo, jnp.asarray(pool, dtype=jnp.float32)
+        )
+        self._repair_key = jax.random.PRNGKey(int(args.seed[0]) + 777)
+        self.n_escaped_total = 0
+
         self.conv_writer = writers.ConvergenceWriter(
             self.folder,
             self.domain.n_of_subvols,
@@ -300,6 +312,10 @@ class Simulation:
             self._write_convergence(row)
             last_row = row
             if self.current_timestep % 100 == 0:
+                if self.params.n_shards == 1:  # sharded repair: round 2+
+                    self._repair_key, k = jax.random.split(self._repair_key)
+                    self.state, n_esc = self.contains_check(self.state, k)
+                    self.n_escaped_total += int(n_esc)
                 self._update_residue()
                 if verbose:
                     info = "Timestep {:>5d} - max residue: {:>9.3e} ({:<9s}) [".format(

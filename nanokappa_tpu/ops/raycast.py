@@ -25,7 +25,12 @@ from nanokappa_tpu.geometry.device import DeviceGeometry
 
 _EPS_DET = 1e-12
 _BARY_TOL = 1e-5
-_T_MIN = 1e-9  # minimum flight time (ps): don't re-hit the surface underfoot
+# Accept slightly NEGATIVE flight times (clamped to 0 by callers): f32
+# round-off can land a particle a hair outside a corner, where the only
+# outward-blocking facet is "behind" it by ~1e-3 A. Without this the ray cast
+# reports no boundary and the particle is quarantined (the TPU's fused f32
+# rounding hits this ~600x more often than CPU XLA at 1e6 particles).
+_T_BACK = -1e-4  # ps
 UNROLL_MAX = 32
 
 
@@ -54,8 +59,11 @@ def _raycast_box(geo, pos, vel, exclude_facet):
         a = int(axis[f])
         v = vel[:, a]
         toward = v * sign[f] > 0.0
-        t = (plane[f] - pos[:, a]) / jnp.where(jnp.abs(v) > 1e-30, v, 1e-30)
-        ok = toward & (t > _T_MIN) & (t < best_t) & (exclude_facet != f)
+        t_raw = (plane[f] - pos[:, a]) / jnp.where(jnp.abs(v) > 1e-30, v, 1e-30)
+        t = jnp.maximum(t_raw, 0.0)
+        ok = (
+            toward & (t_raw > _T_BACK) & (t < best_t) & (exclude_facet != f)
+        )
         best_t = jnp.where(ok, t, best_t)
         best_f = jnp.where(ok, f, best_f)
     return best_t, best_f
@@ -77,13 +85,14 @@ def _raycast_unrolled(geo, pos, vel, exclude_facet):
         u = jnp.einsum("nj,nj->n", s, h) * inv
         q = jnp.cross(s, e1[None, :])
         w = jnp.einsum("nj,nj->n", vel, q) * inv
-        t = (q @ e2) * inv
+        t_raw = (q @ e2) * inv
+        t = jnp.maximum(t_raw, 0.0)
         ok = (
             (jnp.abs(det) > _EPS_DET)
             & (u >= -_BARY_TOL)
             & (w >= -_BARY_TOL)
             & (u + w <= 1.0 + _BARY_TOL)
-            & (t > _T_MIN)
+            & (t_raw > _T_BACK)
             & (exclude_facet != int(tfac[f]))
             & (t < best_t)
         )
@@ -106,12 +115,13 @@ def _raycast_broadcast(geo, pos, vel, exclude_facet):
     w = jnp.einsum("nj,nfj->nf", vel, q) * inv
     t = jnp.einsum("fj,nfj->nf", e2, q) * inv
 
+    t = jnp.where(t > _T_BACK, jnp.maximum(t, 0.0), -jnp.inf)
     valid = (
         (jnp.abs(det) > _EPS_DET)
         & (u >= -_BARY_TOL)
         & (w >= -_BARY_TOL)
         & (u + w <= 1.0 + _BARY_TOL)
-        & (t > _T_MIN)
+        & (t >= 0.0)
         & (geo.tri_facet[None, :] != exclude_facet[:, None])
     )
     t = jnp.where(valid, t, jnp.inf)

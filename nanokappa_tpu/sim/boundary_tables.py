@@ -42,6 +42,8 @@ class BoundaryTables:
     specularity: jax.Array  # (NU, M) f32, zeroed where no correspondence
     corr: jax.Array  # (NU, M) i32 outgoing mode, -1 where none
     diffuse_cdf: jax.Array  # (NU, M) f32 normalised cumulative creation rate
+    diffuse_prob: jax.Array  # (NU, M) f32 Walker alias acceptance probability
+    diffuse_alias: jax.Array  # (NU, M) i32 Walker alias partner mode
     row_of_rough: jax.Array  # (NR,) i32 rough facet -> table row
     degen_partner: jax.Array  # (M,) i32 partner branch mode or -1 ('k' model)
     n_rough: int = field(metadata=dict(static=True))
@@ -167,6 +169,34 @@ def _correspondence_k(mat: Material, n: np.ndarray) -> np.ndarray:
     return corr
 
 
+def build_alias(weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Walker alias tables for O(1) categorical sampling on device: draw
+    j ~ Uniform(M), u ~ U(0,1); sample = j if u < prob[j] else alias[j].
+    Replaces the reference's cumulative-sum roulette + searchsorted
+    (classes/Population.py:938-939, 990-1015) which costs a log(M)-deep
+    gather chain per event on TPU."""
+    M = len(weights)
+    w = np.asarray(weights, dtype=float)
+    total = w.sum()
+    if total <= 0:
+        return np.ones(M), np.arange(M, dtype=np.int64)
+    scaled = w * M / total
+    prob = np.ones(M)
+    alias = np.arange(M, dtype=np.int64)
+    small = [i for i in range(M) if scaled[i] < 1.0]
+    large = [i for i in range(M) if scaled[i] >= 1.0]
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        prob[s] = scaled[s]
+        alias[s] = l
+        scaled[l] = scaled[l] - (1.0 - scaled[s])
+        (small if scaled[l] < 1.0 else large).append(l)
+    for i in small + large:
+        prob[i] = 1.0
+    return prob, alias
+
+
 def _degen_partner(mat: Material) -> np.ndarray:
     """(M,) mode id of an equal-frequency partner branch, -1 if none."""
     out = np.full(mat.n_modes, -1, dtype=np.int64)
@@ -192,6 +222,8 @@ def build_boundary_tables(
             specularity=jnp.zeros((1, M), dtype=dtype),
             corr=jnp.full((1, M), -1, dtype=jnp.int32),
             diffuse_cdf=jnp.ones((1, M), dtype=dtype),
+            diffuse_prob=jnp.ones((1, M), dtype=dtype),
+            diffuse_alias=jnp.zeros((1, M), dtype=jnp.int32),
             row_of_rough=jnp.zeros(0, dtype=jnp.int32),
             degen_partner=jnp.asarray(_degen_partner(mat), dtype=jnp.int32),
             n_rough=0,
@@ -224,6 +256,8 @@ def build_boundary_tables(
 
     # diffuse creation rate (classes/Population.py:879-939)
     cdf = np.zeros((NU, M))
+    aprob = np.zeros((NU, M))
+    aidx = np.zeros((NU, M), dtype=np.int64)
     for f in range(NU):
         vdn = v @ u_normals[f]  # outward
         creation = np.maximum(-vdn, 0.0)  # modes leaving the wall into the domain
@@ -239,11 +273,14 @@ def build_boundary_tables(
         creation = np.maximum(np.round(creation, 10), 0.0)
         c = np.cumsum(creation)
         cdf[f] = c / c[-1]
+        aprob[f], aidx[f] = build_alias(creation)
 
     return BoundaryTables(
         specularity=jnp.asarray(spec, dtype=dtype),
         corr=jnp.asarray(corr, dtype=jnp.int32),
         diffuse_cdf=jnp.asarray(cdf, dtype=dtype),
+        diffuse_prob=jnp.asarray(aprob, dtype=dtype),
+        diffuse_alias=jnp.asarray(aidx, dtype=jnp.int32),
         row_of_rough=jnp.asarray(row_of_rough, dtype=jnp.int32),
         degen_partner=jnp.asarray(_degen_partner(mat), dtype=jnp.int32),
         n_rough=NR,

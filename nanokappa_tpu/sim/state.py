@@ -203,7 +203,7 @@ def init_state(
     alive[slots] = True
 
     vel_p = mat.group_vel.reshape(-1, 3)[modes]
-    return SimState(
+    state = SimState(
         pos=jnp.asarray(full(positions.astype(np.float32), 0.0)),
         mode=jnp.asarray(full(modes.astype(np.int32), 0)),
         vel=jnp.asarray(full(vel_p.astype(np.float32), 0.0)),
@@ -224,4 +224,24 @@ def init_state(
         lost=jnp.zeros((), dtype=jnp.int32),
         key=jax.random.PRNGKey(seed),
         step=jnp.zeros((), dtype=jnp.int32),
+    )
+    return prime_collision_cache(state, geo, params.dt)
+
+
+def prime_collision_cache(state: SimState, geo: DeviceGeometry, dt: float) -> SimState:
+    """Full-width initial ray cast ('Getting first boundary collisions...',
+    reference classes/Population.py:308-316). The per-step cascade only
+    re-casts a bounded buffer of stale entries, so the initial population must
+    arrive with a valid collision cache."""
+    import dataclasses
+
+    from nanokappa_tpu.ops.raycast import raycast
+
+    t, f = raycast(
+        geo, state.pos, state.vel, jnp.full(state.pos.shape[0], -1, jnp.int32)
+    )
+    return dataclasses.replace(
+        state,
+        t_coll=(t / dt).astype(jnp.float32),
+        coll_facet=jnp.where(state.alive, f, STALE),
     )

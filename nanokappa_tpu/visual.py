@@ -22,6 +22,96 @@ import matplotlib.pyplot as plt  # noqa: E402
 from nanokappa_tpu.constants import HBAR  # noqa: E402
 
 
+def plot_material(mat, folder: str):
+    """Material diagnostic plots at init (reference classes/Phonon.py:195-207,
+    433-513): FBZ wavevectors, relaxation times tau(omega) at round-hundred
+    temperatures, density of states per branch."""
+    # FBZ scatter
+    fig = plt.figure(figsize=(6, 5), dpi=120)
+    ax = fig.add_subplot(projection="3d")
+    k = mat.wavevectors
+    ax.scatter(k[:, 0], k[:, 1], k[:, 2], s=1, c=(k**2).sum(axis=1))
+    ax.set_xlabel(r"$k_x$"); ax.set_ylabel(r"$k_y$"); ax.set_zlabel(r"$k_z$")
+    fig.suptitle(r"Wavevectors in FBZ, coloured by $|k|^2$")
+    fig.tight_layout()
+    fig.savefig(os.path.join(folder, "FBZ.png"))
+    plt.close(fig)
+
+    # relaxation times at multiples of 100 K
+    T_all = mat.tau_T[mat.tau_T % 100 == 0]
+    T_all = T_all[T_all > 0]
+    fig, ax = plt.subplots(figsize=(5, 5), dpi=120)
+    cmap = plt.get_cmap("jet")
+    omega = mat.omega.reshape(-1)
+    for i, T in enumerate(T_all):
+        ti = int(np.searchsorted(mat.tau_T, T))
+        tau = mat.tau[ti].reshape(-1)
+        sel = tau > 0
+        ax.scatter(omega[sel], tau[sel], s=1,
+                   color=cmap(i / max(len(T_all) - 1, 1)), label=f"{T:.0f} K")
+    ax.set_xlabel(r"$\omega$ [rad THz]")
+    ax.set_ylabel(r"$\tau$ [ps]")
+    ax.set_yscale("log")
+    ax.legend(fontsize="small", markerscale=8)
+    fig.tight_layout()
+    fig.savefig(os.path.join(folder, "relaxation_times.png"))
+    plt.close(fig)
+
+    # density of states (stacked per branch, 200 bins)
+    n_bins = 200
+    intervals = np.linspace(0, mat.omega.max(), n_bins + 1)
+    centers = (intervals[1:] + intervals[:-1]) / 2
+    dos = np.stack(
+        [np.histogram(mat.omega[:, b], bins=intervals)[0] for b in range(mat.n_branches)]
+    ) / (intervals[1] - intervals[0])
+    fig, ax = plt.subplots(figsize=(5, 5), dpi=120)
+    ax.stackplot(centers, dos, labels=[f"Branch {b}" for b in range(mat.n_branches)],
+                 step="pre")
+    ax.set_xlabel(r"$\omega$ [rad THz]")
+    ax.set_ylabel(r"$g(\omega)$ [THz$^{-1}$]")
+    ax.legend(fontsize="small")
+    fig.tight_layout()
+    fig.savefig(os.path.join(folder, "density_of_states.png"))
+    plt.close(fig)
+
+
+_BC_COLORS = {1: "tab:red", 2: "tab:green", 3: "tab:blue", 4: "tab:orange"}
+_BC_NAMES = {1: "T", 2: "P", 3: "R", 4: "F"}
+
+
+def plot_geometry(domain, folder: str):
+    """Boundary-condition facet plot + subvolume connection graph
+    (reference classes/Geometry.py:768-791, 1054-1068)."""
+    mesh = domain.mesh
+    fig = plt.figure(figsize=(8, 6), dpi=120)
+    ax = fig.add_subplot(projection="3d")
+    for fct in range(mesh.n_facets):
+        col = _BC_COLORS.get(int(domain.bound_cond[fct]), "gray")
+        tris = mesh.tri[mesh.facets[fct]]
+        for t in tris:
+            loop = np.vstack([t, t[:1]])
+            ax.plot(loop[:, 0], loop[:, 1], loop[:, 2], color=col, lw=0.7)
+        c = mesh.facet_centroids[fct]
+        ax.text(c[0], c[1], c[2],
+                f"{fct}:{_BC_NAMES.get(int(domain.bound_cond[fct]), '?')}",
+                fontsize=7)
+    ax.set_box_aspect(np.ptp(mesh.bounds, axis=0) + 1e-9)
+    fig.tight_layout()
+    fig.savefig(os.path.join(folder, "BC_plot.png"))
+    plt.close(fig)
+
+    fig = plt.figure(figsize=(8, 6), dpi=120)
+    ax = fig.add_subplot(projection="3d")
+    c = domain.subvol_center
+    ax.scatter(c[:, 0], c[:, 1], c[:, 2], s=12, c="k")
+    for a, b in domain.subvol_connections:
+        ax.plot(c[[a, b], 0], c[[a, b], 1], c[[a, b], 2], "b-", lw=0.8)
+    ax.set_box_aspect(np.ptp(mesh.bounds, axis=0) + 1e-9)
+    fig.tight_layout()
+    fig.savefig(os.path.join(folder, "subvol_connections.png"))
+    plt.close(fig)
+
+
 def read_convergence(path: str, n_sv: int, n_res: int, subvol_type: str, n_con: int):
     """Parse convergence.txt back into arrays (Visualisation.py:122-157)."""
     rows = []
