@@ -43,16 +43,40 @@ def subvol_id(geo: DeviceGeometry, pos: jax.Array) -> jax.Array:
 def interp_T_particles(
     geo: DeviceGeometry, T_sv: jax.Array, pos: jax.Array, sv: jax.Array, kind: str
 ) -> jax.Array:
-    """Temperature at particle positions from subvolume temperatures."""
+    """Temperature at particle positions from subvolume temperatures
+    (reference classes/Population.py:685-702: 'nearest', 'linear' for slices,
+    RBF 'radial' otherwise)."""
     if kind == "linear" and geo.subvol_type == "slice":
+        # slice centres are uniformly spaced -> index arithmetic, then lerp
+        # with linear extrapolation at the ends (scipy interp1d
+        # fill_value='extrapolate' equivalent)
         ax = geo.slice_axis
-        centers = geo.subvol_center[:, ax]  # sorted along axis by construction
-        x = pos[:, ax]
-        i = jnp.clip(jnp.searchsorted(centers, x) - 1, 0, geo.n_subvols - 2)
-        w = (x - centers[i]) / (centers[i + 1] - centers[i])
-        return T_sv[i] * (1 - w) + T_sv[i + 1] * w  # linear extrapolation at ends
+        c0 = geo.subvol_center[0, ax]
+        dc = (geo.subvol_center[-1, ax] - c0) / (geo.n_subvols - 1)
+        f = (pos[:, ax] - c0) / dc
+        i = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, geo.n_subvols - 2)
+        w = f - i
+        return T_sv[i] * (1 - w) + T_sv[i + 1] * w
+    if kind == "radial":
+        return _rbf_interp(geo.subvol_center, T_sv, pos)
     # nearest
     return T_sv[sv]
+
+
+def _rbf_interp(centers: jax.Array, values: jax.Array, x: jax.Array) -> jax.Array:
+    """Cubic RBF interpolation (scipy RBFInterpolator kernel='cubic'
+    equivalent, reference classes/Population.py:574-588): solve the small
+    (SV+4, SV+4) augmented system on device, evaluate with one matmul."""
+    n = centers.shape[0]
+    d = jnp.linalg.norm(centers[:, None, :] - centers[None, :, :], axis=-1)
+    K = d**3
+    P = jnp.concatenate([jnp.ones((n, 1)), centers], axis=1)  # (n,4)
+    A = jnp.block([[K, P], [P.T, jnp.zeros((4, 4))]])
+    b = jnp.concatenate([values, jnp.zeros(4)])
+    coef = jnp.linalg.solve(A, b)
+    dx = jnp.linalg.norm(x[:, None, :] - centers[None, :, :], axis=-1)  # (N,SV)
+    phi = dx**3
+    return phi @ coef[:n] + coef[n] + x @ coef[n + 1 :]
 
 
 def lookup_T_of_E(mat: MaterialTables, E: jax.Array) -> jax.Array:

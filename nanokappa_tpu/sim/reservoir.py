@@ -171,8 +171,12 @@ def inject(
     else:
         raise ValueError(f"unknown reservoir_gen '{params.res_gen}'")
 
-    # compact valid entries to the front
-    order = jnp.argsort(~inj_valid, stable=True)
+    # compact valid entries to the front (cumsum-rank packing; cheaper than a
+    # full argsort on TPU)
+    from nanokappa_tpu.sim.cascade import _compact
+
+    order, _ = _compact(inj_valid, cap)
+    order = jnp.minimum(order, cap - 1)  # sentinel lanes sit beyond n_valid
     inj_mode = inj_mode[order]
     inj_res = inj_res[order]
     inj_dtin = inj_dtin[order]
