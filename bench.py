@@ -21,6 +21,10 @@ def main():
     import numpy as np
     import jax
 
+    from nanokappa_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from nanokappa_tpu.material import synthetic_material
     from nanokappa_tpu.geometry.domain import build_domain
     from nanokappa_tpu.geometry.device import build_device_geometry

@@ -15,6 +15,9 @@ from nanokappa_tpu.io.config import generate_results_folder, read_args
 
 
 def main(argv=None):
+    from nanokappa_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     args = read_args(argv)
     args = generate_results_folder(args)
 
@@ -53,7 +56,7 @@ def main(argv=None):
     except Exception as e:
         print("init plots failed:", e)
 
-    sim.run()
+    sim.run(profile_dir=(str(args.profile[0]) or None))
 
     try:
         from nanokappa_tpu.visual import postprocess

@@ -140,8 +140,19 @@ class Simulation:
             part_dist=part_dist,
             subvol_temp=[float(t) for t in args.subvol_temp],
             seed=int(args.seed[0]),
+            empty_subvols=[int(i) for i in args.empty_subvols],
             **kw,
         )
+
+        # kappa path (reference --path_points / snap_path,
+        # classes/Geometry.py:1070-1188)
+        self.kappa_path = None
+        if len(args.path_points) > 1:
+            pts = np.asarray(args.path_points[1:], dtype=float).reshape(-1, 3)
+            if args.path_points[0] == "relative":
+                pts = pts * np.ptp(self.domain.bounds, axis=0) + self.domain.bounds[0]
+            self.kappa_path = self.domain.find_path(pts)
+            self.path_cons = self.domain.path_connections(self.kappa_path)
 
         # --- step function --------------------------------------------------
         if n_shards > 1:
@@ -293,23 +304,33 @@ class Simulation:
             self.finish_sim = True
         return mean, std
 
-    def run(self, verbose: bool = True):
+    def run(self, verbose: bool = True, profile_dir: str | None = None):
+        from nanokappa_tpu.io.trace import PhaseTimer, trace
+
         args = self.args
         iterations = int(args.iterations[0])
         max_seconds = parse_max_time(str(args.max_sim_time[0]))
         t_start = time.time()
         last_row = None
+        self.timer = timer = PhaseTimer()
+        profiled = False
         while (
             self.current_timestep < iterations
             and not self.finish_sim
             and (time.time() - t_start) < max_seconds
         ):
-            self.state, out = self.run_steps(self.state)
+            with trace(profile_dir if (profile_dir and not profiled and self.current_timestep > 0) else None):
+                with timer.phase("device_step_x10"):
+                    self.state, out = self.run_steps(self.state)
+                    jax.block_until_ready(out.T_sv)
+                profiled = profiled or self.current_timestep > 0
             self.current_timestep += N_DT_TO_CONV
-            row = self._observe(out)
-            self.state = reset_ledgers(self.state)
-            self.window.append(row)
-            self._write_convergence(row)
+            with timer.phase("host_observe"):
+                row = self._observe(out)
+                self.state = reset_ledgers(self.state)
+                self.window.append(row)
+            with timer.phase("host_write"):
+                self._write_convergence(row)
             last_row = row
             if self.current_timestep % 100 == 0:
                 if self.params.n_shards == 1:  # sharded repair: round 2+
@@ -317,6 +338,16 @@ class Simulation:
                     self.state, n_esc = self.contains_check(self.state, k)
                     self.n_escaped_total += int(n_esc)
                 self._update_residue()
+                # periodic checkpoint + figures (reference run_timestep,
+                # classes/Population.py:1729-1735)
+                self.write_final_state()
+                if len(self.args.fig_plot):
+                    try:
+                        from nanokappa_tpu.visual import runtime_figures
+
+                        runtime_figures(self)
+                    except Exception:
+                        pass
                 if verbose:
                     info = "Timestep {:>5d} - max residue: {:>9.3e} ({:<9s}) [".format(
                         self.current_timestep, self.max_residue, self.max_residue_qt
@@ -326,6 +357,8 @@ class Simulation:
                     info += " ]"
                     print(info, flush=True)
         self.write_final_state()
+        if verbose:
+            print(timer.report(), flush=True)
         return last_row
 
     # -------------------------------------------------------------- outputs
@@ -381,3 +414,24 @@ class Simulation:
                 phi_con.mean(0), phi_con.std(0), np.nanmean(k, 0), np.nanstd(k, 0),
                 self.args.hdf_file, self.args.poscar_file,
             )
+        if self.kappa_path is not None and dom.subvol_type != "slice":
+            k = np.nanmean(np.stack([w["kappa_con"] for w in W]), axis=0)
+            cons = self.path_cons
+            centers = dom.subvol_center
+            seg_L = np.array(
+                [
+                    np.linalg.norm(
+                        centers[self.kappa_path[i + 1]] - centers[self.kappa_path[i]]
+                    )
+                    for i in range(len(self.kappa_path) - 1)
+                ]
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # series thermal resistance along the snapped path
+                k_path = seg_L.sum() / np.nansum(seg_L / np.abs(k[cons]))
+            with open(os.path.join(self.folder, "kappa_path.txt"), "w") as f:
+                f.write("# subvolume path: " + " ".join(map(str, self.kappa_path)) + "\n")
+                f.write("# connection id, kappa [W/m K]\n")
+                for ci in cons:
+                    f.write(f"{ci}, {k[ci]:.6e}\n")
+                f.write(f"# path kappa (series) = {k_path:.6e} W/m K\n")

@@ -81,6 +81,63 @@ class Domain:
                 return int(a)
         raise ValueError(f"facet {facet} has no periodic pair")
 
+    def find_path(self, points: np.ndarray) -> list[int]:
+        """Snap a polyline of probe points to a path through the subvolume
+        connection graph (reference snap_path, classes/Geometry.py:1085-1188):
+        each point maps to its nearest subvolume centre; consecutive centres
+        are joined by the shortest (euclidean-weighted) graph path."""
+        import heapq
+
+        centers = self.subvol_center
+        n = len(centers)
+        adj: dict[int, list[tuple[int, float]]] = {i: [] for i in range(n)}
+        for a, b in self.subvol_connections:
+            w = float(np.linalg.norm(centers[a] - centers[b]))
+            adj[int(a)].append((int(b), w))
+            adj[int(b)].append((int(a), w))
+
+        def dijkstra(src: int, dst: int) -> list[int]:
+            dist = {src: 0.0}
+            prev: dict[int, int] = {}
+            heap = [(0.0, src)]
+            while heap:
+                d, u = heapq.heappop(heap)
+                if u == dst:
+                    break
+                if d > dist.get(u, np.inf):
+                    continue
+                for v, w in adj[u]:
+                    nd = d + w
+                    if nd < dist.get(v, np.inf):
+                        dist[v] = nd
+                        prev[v] = u
+                        heapq.heappush(heap, (nd, v))
+            if dst not in dist:
+                raise ValueError(f"no path between subvolumes {src} and {dst}")
+            path = [dst]
+            while path[-1] != src:
+                path.append(prev[path[-1]])
+            return path[::-1]
+
+        waypoints = [
+            int(np.argmin(np.linalg.norm(centers - p, axis=1)))
+            for p in np.atleast_2d(points)
+        ]
+        full = [waypoints[0]]
+        for a, b in zip(waypoints[:-1], waypoints[1:]):
+            full += dijkstra(a, b)[1:]
+        return full
+
+    def path_connections(self, path: list[int]) -> np.ndarray:
+        """Connection indices along a subvolume path."""
+        lut = {}
+        for ci, (a, b) in enumerate(self.subvol_connections):
+            lut[(int(a), int(b))] = ci
+            lut[(int(b), int(a))] = ci
+        return np.array(
+            [lut[(path[i], path[i + 1])] for i in range(len(path) - 1)], dtype=int
+        )
+
 
 def _relative_to_absolute(points: np.ndarray, bounds: np.ndarray) -> np.ndarray:
     return points * np.ptp(bounds, axis=0) + bounds[0]

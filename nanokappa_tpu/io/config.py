@@ -62,6 +62,7 @@ def initialise_parser(debug_flag: bool = True) -> argparse.ArgumentParser:
     p.add_argument("--n_shards", "-ns", type=int, nargs=1, default=[0], help=dbg("Particle-axis shards (0 = all local devices)."))
     p.add_argument("--pool_margin", type=float, nargs=1, default=[1.4], help=dbg("Particle pool capacity / target population."))
     p.add_argument("--seed", type=int, nargs=1, default=[0], help=dbg("PRNG seed."))
+    p.add_argument("--profile", type=str, nargs=1, default=[""], help=dbg("Write a jax.profiler trace of one 10-step block to this directory."))
     return p
 
 
@@ -114,4 +115,7 @@ def write_arguments_file(args, folder: str):
                 continue
             if isinstance(value, (list, tuple)):
                 value = " ".join(str(v) for v in value)
+            value = str(value).strip()
+            if value == "":  # an empty value would break the re-parse
+                continue
             f.write(f"--{key} {value}\n")

@@ -83,6 +83,9 @@ def build_sharded_step(
     step = make_step(geo, mat, btab, rtab, params, axis_name="p")
 
     def run_local(state: SimState):
+        from nanokappa_tpu.sim.step import refresh_tau
+
+        state = refresh_tau(state, geo, mat, params)
         state, outs = jax.lax.scan(step, state, length=n_inner)
         last = jax.tree.map(lambda x: x[-1], outs)
         return state, last

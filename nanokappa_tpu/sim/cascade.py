@@ -73,6 +73,7 @@ class _Buf(NamedTuple):
     mode: jax.Array
     vel: jax.Array
     omega: jax.Array
+    tau: jax.Array
     dev: jax.Array
     alive: jax.Array
     t_coll: jax.Array
@@ -144,6 +145,7 @@ def run_cascade(
         mode=state.mode[pidx],
         vel=state.vel[pidx],
         omega=state.omega[pidx],
+        tau=state.tau[pidx],
         dev=state.dev[pidx],
         alive=vbuf,
         t_coll=pvary(jnp.zeros(EVT_CAP, dtype=jnp.float32)),
@@ -189,6 +191,7 @@ def run_cascade(
         mode=put(state.mode, out.mode),
         vel=put(state.vel, out.vel),
         omega=put(state.omega, out.omega),
+        tau=put(state.tau, out.tau),
         dev=put(state.dev, out.dev),
         alive=alive_full,
         t_coll=put(t_coll, out.t_coll),
@@ -289,6 +292,9 @@ def _event_round(
 
     sv_here = subvol_id(geo, pos)
     T_wall = interp_T_particles(geo, T_sv, pos, sv_here, params.temp_interp)
+    from nanokappa_tpu.sim.scatter import lifetime_lookup
+
+    tau_new = jnp.where(changed, lifetime_lookup(mat, T_wall, mode), b.tau)
     dev = jnp.where(
         spec,
         b.dev + occupation_delta_omega(params.t_reference, b.omega, omega_new),
@@ -325,6 +331,7 @@ def _event_round(
         mode=mode,
         vel=vel_new,
         omega=omega_new,
+        tau=tau_new,
         dev=dev,
         alive=alive,
         t_coll=t_coll,

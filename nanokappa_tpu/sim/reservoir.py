@@ -183,8 +183,10 @@ def inject(
 
     # positions on the reservoir facet: pick triangle by area CDF + barycentric
     ut = jax.random.uniform(k_tri, (cap,))
-    rows = geo.res_tri_cdf[inj_res]  # (cap,K)
-    t_in_row = jax.vmap(jnp.searchsorted)(rows, ut).astype(jnp.int32)
+    rows = geo.res_tri_cdf[inj_res]  # (cap,K); K is small (triangles/facet)
+    # CDF inversion by counting (vmapped searchsorted lowers to a scalar loop
+    # on TPU): index = #(cdf entries < u)
+    t_in_row = (rows < ut[:, None]).sum(axis=1).astype(jnp.int32)
     t_in_row = jnp.minimum(t_in_row, geo.res_tri_cdf.shape[1] - 1)
     tri = geo.res_tri_idx[inj_res, t_in_row]  # (cap,)
     b = jax.random.uniform(k_pos1, (cap, 2))
@@ -197,32 +199,43 @@ def inject(
     )
 
     # occupation at reservoir temperature (classes/Population.py:505-506)
+    from nanokappa_tpu.sim.scatter import lifetime_lookup
+
     T_res = geo.res_temperature[inj_res]
     inj_omega = mat.omega[inj_mode]
     inj_vel = mat.velocity[inj_mode]
+    inj_tau = lifetime_lookup(mat, T_res, inj_mode)
     inj_dev = occupation_delta_T(T_res, params.t_reference, inj_omega)
     inj_facet = geo.res_facet[inj_res]
 
-    # --- write into dead slots -------------------------------------------------
-    dead = ~state.alive
-    dead_rank = jnp.cumsum(dead) - 1  # rank of each dead slot
-    n_dead = dead.sum(dtype=jnp.int32)
-    take = dead & (dead_rank < n_valid)  # pool slots that receive a particle
-    src = jnp.clip(dead_rank, 0, cap - 1)  # which injected entry
+    # --- write into dead slots ---------------------------------------------------
+    # compact the dead slots and scatter the (cap,)-sized injection buffers
+    # into them: one full-width cumsum, everything else at buffer width
+    from nanokappa_tpu.sim.cascade import _compact
 
-    pos = jnp.where(take[:, None], inj_pos[src], state.pos)
-    mode = jnp.where(take, inj_mode[src], state.mode)
-    vel = jnp.where(take[:, None], inj_vel[src], state.vel)
-    omega = jnp.where(take, inj_omega[src], state.omega)
-    dev = jnp.where(take, inj_dev[src], state.dev)
-    alive = state.alive | take
-    coll_facet = jnp.where(take, STALE, state.coll_facet)
-    on_facet = jnp.where(take, inj_facet[src], -1)
-    remaining = jnp.where(
-        take,
-        inj_dtin[src] / dt,
-        jnp.where(state.alive, 1.0, 0.0),
-    ).astype(jnp.float32)
+    N = state.alive.shape[0]
+    didx, n_dead = _compact(~state.alive, cap)
+    lane = jnp.arange(cap, dtype=jnp.int32)
+    write = lane < n_valid  # buffer lanes that hold a real particle
+    didx_w = jnp.where(write, didx, N)  # sentinel -> dropped on scatter
+
+    pos = state.pos.at[didx_w].set(inj_pos, mode="drop")
+    mode = state.mode.at[didx_w].set(inj_mode, mode="drop")
+    vel = state.vel.at[didx_w].set(inj_vel, mode="drop")
+    omega = state.omega.at[didx_w].set(inj_omega, mode="drop")
+    tau = state.tau.at[didx_w].set(inj_tau, mode="drop")
+    dev = state.dev.at[didx_w].set(inj_dev, mode="drop")
+    alive = state.alive.at[didx_w].set(True, mode="drop")
+    coll_facet = state.coll_facet.at[didx_w].set(STALE, mode="drop")
+    on_facet = (
+        jnp.full(N, -1, dtype=jnp.int32).at[didx_w].set(inj_facet, mode="drop")
+    )
+    remaining = (
+        jnp.where(state.alive, 1.0, 0.0)
+        .astype(jnp.float32)
+        .at[didx_w]
+        .set((inj_dtin / dt).astype(jnp.float32), mode="drop")
+    )
 
     lost = state.lost + psum(dropped_inj + jnp.maximum(n_valid - n_dead, 0))
 
@@ -231,9 +244,10 @@ def inject(
         mode=mode,
         vel=vel,
         omega=omega,
+        tau=tau,
         dev=dev,
         alive=alive,
-        t_coll=jnp.where(take, jnp.inf, state.t_coll),
+        t_coll=state.t_coll.at[didx_w].set(jnp.inf, mode="drop"),
         coll_facet=coll_facet,
         sv_id=state.sv_id,
         T_sv=state.T_sv,

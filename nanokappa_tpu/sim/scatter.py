@@ -39,9 +39,12 @@ def rta_scatter(
     alive: jax.Array,
     dt: float,
     t_reference: float,
+    tau: jax.Array | None = None,  # cached per-particle tau (state.tau);
+    #   falls back to a fresh table lookup when None
 ) -> jax.Array:
     g = occupation_delta_T(T_local, t_reference, omega)
-    tau = lifetime_lookup(mat, T_local, mode)
+    if tau is None:
+        tau = lifetime_lookup(mat, T_local, mode)
     decay = jnp.where(tau > 0, jnp.exp(-dt / jnp.maximum(tau, 1e-12)), 0.0)
     new_dev = g + (dev - g) * decay
     return jnp.where(alive, new_dev, dev)

@@ -57,6 +57,10 @@ class SimState:
     #   primitive on TPU, so per-mode properties are cached per particle and
     #   refreshed only when the mode changes (reflection / injection)
     omega: jax.Array  # (N,) f32 cached angular frequency of `mode`
+    tau: jax.Array  # (N,) f32 cached lifetime tau(T_local, mode), ps; the
+    #   random-index (nT*M) gather is the single most expensive op in the RTA
+    #   phase, so tau refreshes only on mode change (event/injection buffers)
+    #   and once per outer scan (T drifts ~0.01 K/step -> negligible error)
     dev: jax.Array  # (N,) f32 occupation deviation n - n0(T_ref)
     alive: jax.Array  # (N,) bool
     t_coll: jax.Array  # (N,) f32 time to next boundary hit, in dt units
@@ -160,6 +164,7 @@ def init_state(
     positions: np.ndarray | None = None,
     modes: np.ndarray | None = None,
     occupation: np.ndarray | None = None,
+    empty_subvols=(),
 ) -> SimState:
     rng = np.random.default_rng(seed)
     n_cap = params.n_cap
@@ -170,6 +175,18 @@ def init_state(
     if positions is None:
         if part_dist in ("random_domain", "random_subvol"):
             positions = domain.mesh.sample_volume(n_p, rng)
+            if len(empty_subvols):
+                # resample until no particle starts in an excluded subvolume
+                # (reference --empty_subvols, classes/Population.py:209-246)
+                empty = np.asarray(list(empty_subvols), dtype=int)
+                for _ in range(100):
+                    d = np.linalg.norm(
+                        positions[:, None, :] - domain.subvol_center[None], axis=-1
+                    )
+                    bad = np.isin(np.argmin(d, axis=1), empty)
+                    if not bad.any():
+                        break
+                    positions[bad] = domain.mesh.sample_volume(int(bad.sum()), rng)
         elif part_dist in ("center_domain", "center_subvol"):
             positions = np.tile(domain.mesh.center_mass, (n_p, 1))
         else:
@@ -203,11 +220,18 @@ def init_state(
     alive[slots] = True
 
     vel_p = mat.group_vel.reshape(-1, 3)[modes]
+    ti = np.clip(np.searchsorted(mat.tau_T, T_p) - 1, 0, len(mat.tau_T) - 2)
+    wt = np.clip(
+        (T_p - mat.tau_T[ti]) / (mat.tau_T[ti + 1] - mat.tau_T[ti]), 0.0, 1.0
+    )
+    tau_flat = mat.tau.reshape(len(mat.tau_T), -1)
+    tau_p = (1 - wt) * tau_flat[ti, modes] + wt * tau_flat[ti + 1, modes]
     state = SimState(
         pos=jnp.asarray(full(positions.astype(np.float32), 0.0)),
         mode=jnp.asarray(full(modes.astype(np.int32), 0)),
         vel=jnp.asarray(full(vel_p.astype(np.float32), 0.0)),
         omega=jnp.asarray(full(omega_p.astype(np.float32), 0.0)),
+        tau=jnp.asarray(full(tau_p.astype(np.float32), 0.0)),
         dev=jnp.asarray(full(dev.astype(np.float32), 0.0)),
         alive=jnp.asarray(alive),
         t_coll=jnp.full(n_cap, np.inf, dtype=jnp.float32),

