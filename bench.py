@@ -53,7 +53,7 @@ def main():
     params = SimParams(
         dt=1.0,
         n_cap=int(n_p * 1.25),
-        inj_cap=1 << 16,
+        inj_cap=1 << 14,
         particle_density=rho,
         n_active_modes=mat.n_active_modes,
         t_reference=300.0,

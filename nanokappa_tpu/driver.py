@@ -119,6 +119,9 @@ class Simulation:
 
         # --- tables ---------------------------------------------------------
         self.btab = build_boundary_tables(material, self.domain, self.params.scat_model)
+        from nanokappa_tpu.sim.boundary_tables import write_specular_correspondences
+
+        write_specular_correspondences(self.btab, material, self.domain, self.folder)
         self.rtab = build_reservoir_tables(material, self.domain, self.params.dt, rho)
         self.mtab = material.device_tables()
 

@@ -102,7 +102,7 @@ def run_cascade(
     N = state.pos.shape[0]
     R = geo.n_reservoirs
     R8 = _pad8(R + 1)
-    EVT_CAP = _pad8(max(params.inj_cap, N // 8))
+    EVT_CAP = _pad8(max(params.inj_cap, N // 16))
 
     def pvary(x):
         return jax.lax.pvary(x, axis_name) if axis_name else x
@@ -140,17 +140,37 @@ def run_cascade(
     frozen = n_evt_all - n_evt  # events beyond capacity: path frozen this step
     vbuf = jnp.arange(EVT_CAP) < n_evt
 
+    # pack the per-particle fields into one (N, 12) matrix so the buffer fill
+    # is a single coalesced row gather instead of 12 scalar gathers
+    f32 = jnp.float32
+    bc32 = lambda a: jax.lax.bitcast_convert_type(a, f32)  # noqa: E731
+    packed = jnp.concatenate(
+        [
+            pos,  # 0:3
+            state.vel,  # 3:6
+            state.omega[:, None],  # 6
+            state.tau[:, None],  # 7
+            state.dev[:, None],  # 8
+            bc32(state.mode)[:, None],  # 9
+            bc32(coll_facet)[:, None],  # 10
+            bc32(on_facet)[:, None],  # 11
+        ],
+        axis=1,
+    )
+    rows = packed[pidx]  # (EVT,12) row gather
+    i32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
+
     buf = _Buf(
-        pos=pos[pidx],
-        mode=state.mode[pidx],
-        vel=state.vel[pidx],
-        omega=state.omega[pidx],
-        tau=state.tau[pidx],
-        dev=state.dev[pidx],
+        pos=rows[:, 0:3],
+        mode=i32(rows[:, 9]),
+        vel=rows[:, 3:6],
+        omega=rows[:, 6],
+        tau=rows[:, 7],
+        dev=rows[:, 8],
         alive=vbuf,
         t_coll=pvary(jnp.zeros(EVT_CAP, dtype=jnp.float32)),
-        coll_facet=jnp.where(vbuf, coll_facet[pidx], -1),
-        on_facet=on_facet[pidx],
+        coll_facet=jnp.where(vbuf, i32(rows[:, 10]), -1),
+        on_facet=i32(rows[:, 11]),
         remaining=jnp.where(vbuf, rem_after[pidx], 0.0),
         ledger=pvary(jnp.zeros((R8, 5), dtype=jnp.float32)),
         lost=pvary(jnp.zeros((), jnp.int32)),
@@ -180,22 +200,36 @@ def run_cascade(
         + still_stale.sum(dtype=jnp.int32)
     )
 
-    # ---- scatter buffer back ---------------------------------------------------
-    def put(full, bufval):
-        return full.at[pidx].set(bufval, mode="drop")
-
-    alive_full = put(state.alive, buf_alive)
+    # ---- scatter buffer back (one coalesced row scatter) ------------------------
+    rows_out = jnp.concatenate(
+        [
+            out.pos,
+            out.vel,
+            out.omega[:, None],
+            out.tau[:, None],
+            out.dev[:, None],
+            bc32(out.mode)[:, None],
+            bc32(out.coll_facet)[:, None],
+            out.t_coll[:, None],
+        ],
+        axis=1,
+    )  # (EVT,12)
+    merged = packed.at[pidx].set(rows_out, mode="drop")
+    t_coll_full = (
+        t_coll.at[pidx].set(out.t_coll, mode="drop")
+    )
+    alive_full = state.alive.at[pidx].set(buf_alive, mode="drop")
     ledger = psum(out.ledger)
     new_state = SimState(
-        pos=put(pos, out.pos),
-        mode=put(state.mode, out.mode),
-        vel=put(state.vel, out.vel),
-        omega=put(state.omega, out.omega),
-        tau=put(state.tau, out.tau),
-        dev=put(state.dev, out.dev),
+        pos=merged[:, 0:3],
+        mode=i32(merged[:, 9]),
+        vel=merged[:, 3:6],
+        omega=merged[:, 6],
+        tau=merged[:, 7],
+        dev=merged[:, 8],
         alive=alive_full,
-        t_coll=put(t_coll, out.t_coll),
-        coll_facet=put(coll_facet, out.coll_facet),
+        t_coll=t_coll_full,
+        coll_facet=i32(merged[:, 10]),
         sv_id=state.sv_id,
         T_sv=state.T_sv,
         Np_sv=state.Np_sv,

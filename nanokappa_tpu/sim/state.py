@@ -187,8 +187,16 @@ def init_state(
                     if not bad.any():
                         break
                     positions[bad] = domain.mesh.sample_volume(int(bad.sum()), rng)
-        elif part_dist in ("center_domain", "center_subvol"):
+        elif part_dist == "center_domain":
             positions = np.tile(domain.mesh.center_mass, (n_p, 1))
+        elif part_dist == "center_subvol":
+            # particles at each subvolume centre, proportional to its volume
+            # (reference classes/Population.py:248-268)
+            keep = np.ones(domain.n_of_subvols, dtype=bool)
+            keep[list(empty_subvols)] = False
+            vols = np.where(keep, domain.subvol_volume, 0.0)
+            counts = np.ceil(n_p * vols / vols.sum()).astype(int)
+            positions = np.repeat(domain.subvol_center, counts, axis=0)[:n_p]
         else:
             raise ValueError(f"unknown part_dist '{part_dist}'")
     if modes is None:

@@ -1,0 +1,90 @@
+"""Parity extras: Ge material swap, 'fixed' energy normalisation,
+center_subvol distribution, specular correspondence dump."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from nanokappa_tpu.material import synthetic_material
+from nanokappa_tpu.sim.state import SimParams, init_state, particle_count
+from nanokappa_tpu.sim.step import build_step
+from nanokappa_tpu.sim.kappa import kappa_slice
+
+from tests.test_sim_box import film_setup
+
+
+@pytest.fixture(scope="module")
+def ge_material():
+    return synthetic_material(mesh=(6, 6, 6), preset="Ge")
+
+
+def test_ge_swap_runs_unchanged(ge_material):
+    """BASELINE config 2: swapping the dispersion/lifetime tables runs the
+    same pipeline and produces a lower (softer crystal) film kappa."""
+    mat = ge_material
+    dom, geo, btab, rtab, params, state = film_setup(mat, n_particles=1e4)
+    run = build_step(geo, mat.device_tables(), btab, rtab, params, n_inner=10)
+    for _ in range(30):
+        state, out = run(state)
+    T = np.asarray(out.T_sv)
+    assert np.all(T < 302.0) and np.all(T > 298.0)
+    _, kt = kappa_slice(
+        T, np.asarray(out.phi_sv), np.asarray(out.Np_sv),
+        np.array([302.0, 298.0]), 5e3, 0,
+    )
+    bulk = mat.bulk_kappa_rta(300.0)[0]
+    assert 0.15 * bulk < kt < bulk
+    assert bulk < 50  # Ge-like: softer than the Si preset (~66)
+
+
+def test_fixed_energy_normalisation(small_material):
+    """'fixed' norm divides by the expected particle count per subvolume
+    (classes/Population.py:719-720); at uniform density it must agree with
+    'mean' within Monte Carlo noise."""
+    mat = small_material
+    dom, geo, btab, rtab, params, state = film_setup(mat, n_particles=1e4)
+    pf = dataclasses.replace(params, energy_normal="fixed")
+    runf = build_step(geo, mat.device_tables(), btab, rtab, pf, n_inner=10)
+    runm = build_step(geo, mat.device_tables(), btab, rtab, params, n_inner=10)
+    sf = sm = state
+    for _ in range(20):
+        sf, of = runf(sf)
+        sm, om = runm(sm)
+    Tf, Tm = np.asarray(of.T_sv), np.asarray(om.T_sv)
+    assert np.abs(Tf - Tm).max() < 0.5
+
+
+def test_center_subvol_distribution(small_material):
+    mat = small_material
+    dom, geo, btab, rtab, params, _ = film_setup(mat, n_particles=1e4)
+    state = init_state(
+        mat, dom, geo, params, 10000, temp_dist="mean", part_dist="center_subvol",
+    )
+    pos = np.asarray(state.pos)[np.asarray(state.alive)]
+    # every particle sits exactly on one of the subvolume centres
+    d = np.linalg.norm(pos[:, None, :] - dom.subvol_center[None], axis=-1)
+    assert d.min(axis=1).max() < 1e-3
+    # roughly equal share per centre (equal-volume slices)
+    counts = np.bincount(np.argmin(d, axis=1), minlength=10)
+    assert counts.min() > 0.8 * counts.max()
+
+
+def test_specular_correspondence_dump(small_material, tmp_path):
+    from nanokappa_tpu.sim.boundary_tables import (
+        build_boundary_tables, write_specular_correspondences,
+    )
+
+    dom, geo, btab, rtab, params, state = film_setup(small_material)
+    write_specular_correspondences(btab, small_material, dom, str(tmp_path))
+    path = tmp_path / "specular_correspondences.txt"
+    assert path.exists()
+    rows = np.loadtxt(path)
+    assert rows.shape[1] == 7
+    # omega conserved across every correspondence
+    J = small_material.n_branches
+    w = small_material.omega
+    w_in = w[rows[:, 3].astype(int), rows[:, 4].astype(int)]
+    w_out = w[rows[:, 5].astype(int), rows[:, 6].astype(int)]
+    np.testing.assert_allclose(w_in, w_out, rtol=1e-6)
