@@ -82,6 +82,15 @@ class TriMesh:
         a = self.tri[:, 0]
         e1 = self.tri[:, 1] - self.tri[:, 0]
         e2 = self.tri[:, 2] - self.tri[:, 0]
+        # native kernel for the uniform-direction case on large meshes
+        if len(self.faces) * len(origins) > 1 << 22 and np.allclose(
+            directions, directions[0]
+        ):
+            from nanokappa_tpu import native
+
+            out = native.count_crossings(origins, directions[0], a, e1, e2)
+            if out is not None:
+                return out.astype(int)
         n_hits = np.zeros(origins.shape[0], dtype=int)
         stride = 4096
         for s in range(0, origins.shape[0], stride):

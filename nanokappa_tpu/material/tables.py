@@ -104,10 +104,27 @@ class Material:
 
     def crystal_energy(self, T) -> np.ndarray:
         """Energy density (eV/A^3) at temperature(s) T, incl. zero point
-        (classes/Phonon.py:352-362)."""
+        (classes/Phonon.py:352-362).
+
+        Uses the native C++ kernel when available (the 0.1 K inversion table
+        over a 31^3 material is ~9e8 Bose-Einstein evaluations; broadcast
+        NumPy would need multi-GB temporaries), with a T-chunked NumPy
+        fallback."""
         T = np.atleast_1d(np.asarray(T, dtype=float))
-        n = bose_einstein(T[:, None, None], self.omega[None, :, :])
-        e = (HBAR * self.omega[None, :, :] * n * (~self.inactive_mask)).sum(axis=(1, 2))
+        from nanokappa_tpu import native
+
+        e = native.crystal_energy_sums(
+            self.omega, ~self.inactive_mask, T, HBAR, KB
+        )
+        if e is None:
+            e = np.empty(len(T))
+            chunk = max(1, int(2e7 // max(self.n_modes, 1)))
+            for s in range(0, len(T), chunk):
+                Ts = T[s : s + chunk]
+                n = bose_einstein(Ts[:, None, None], self.omega[None, :, :])
+                e[s : s + chunk] = (
+                    HBAR * self.omega[None, :, :] * n * (~self.inactive_mask)
+                ).sum(axis=(1, 2))
         return self.normalise_to_density(e) + self.zero_point
 
     def _build_temperature_tables(self, dT: float = 0.1):

@@ -175,6 +175,12 @@ def build_alias(weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     Replaces the reference's cumulative-sum roulette + searchsorted
     (classes/Population.py:938-939, 990-1015) which costs a log(M)-deep
     gather chain per event on TPU."""
+    from nanokappa_tpu import native
+
+    out = native.build_alias(np.asarray(weights, dtype=float))
+    if out is not None:
+        return out
+
     M = len(weights)
     w = np.asarray(weights, dtype=float)
     total = w.sum()

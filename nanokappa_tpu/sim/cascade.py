@@ -56,16 +56,19 @@ def _pad8(n: int) -> int:
 def _compact(mask: jax.Array, cap: int):
     """Indices of True entries, packed to the front of a (cap,) buffer.
 
-    Returns (pidx (cap,) int32 with sentinel N for unused lanes, n_valid)."""
+    Returns (pidx (cap,) int32 with sentinel N for unused lanes, n_valid).
+
+    Formulated as searchsorted over the running count (index of the j-th True
+    element = first position where cumsum reaches j+1): ~log2(N) rounds of
+    (cap,)-sized gathers. The scatter formulation (write rank -> index) costs
+    ~10 ms at N=1e6 on TPU (dense scatters run at ~1e8 elements/s)."""
     n = mask.shape[0]
-    rank = jnp.cumsum(mask) - 1
-    slot = jnp.where(mask & (rank < cap), rank, cap)
-    pidx = (
-        jnp.full(cap + 1, n, dtype=jnp.int32)
-        .at[slot]
-        .set(jnp.arange(n, dtype=jnp.int32), mode="drop")[:cap]
-    )
-    return pidx, jnp.minimum(mask.sum(dtype=jnp.int32), cap)
+    csum = jnp.cumsum(mask.astype(jnp.int32))
+    n_valid = jnp.minimum(csum[-1], cap)
+    j = jnp.arange(cap, dtype=jnp.int32)
+    pidx = jnp.searchsorted(csum, j + 1, side="left").astype(jnp.int32)
+    pidx = jnp.where(j < n_valid, pidx, n)
+    return pidx, n_valid
 
 
 class _Buf(NamedTuple):
