@@ -38,6 +38,19 @@ def make_particle_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.array(devices), ("p",))
 
 
+def make_ensemble_mesh(
+    n_replicas: int, n_particle_shards: int, devices=None
+) -> Mesh:
+    """2-D mesh: "r" = independent Monte Carlo replicas (own subvolume
+    temperatures, error bars for free), "p" = particle shards within a
+    replica (psum over ICI)."""
+    devices = devices if devices is not None else jax.devices()
+    n = n_replicas * n_particle_shards
+    return Mesh(
+        np.array(devices[:n]).reshape(n_replicas, n_particle_shards), ("r", "p")
+    )
+
+
 def state_specs(state: SimState) -> SimState:
     """PartitionSpec pytree for a SimState: particle-axis arrays shard on "p",
     subvolume/ledger arrays replicate, per-shard reservoir accumulators shard
@@ -128,3 +141,110 @@ def build_sharded_step(
         return cache["fn"](state)
 
     return run
+
+
+def build_ensemble_step(
+    geo,
+    mat,
+    btab,
+    rtab,
+    params,
+    mesh: Mesh,
+    n_inner: int = 1,
+):
+    """Jitted 2-axis multi-chip multi-step over a ("r", "p") mesh.
+
+    Particle arrays shard jointly over (r, p); subvolume reductions psum over
+    "p" only, so each replica row evolves an independent Monte Carlo chain
+    (own T_sv). StepOutputs come back with a leading replica axis; averaging
+    across it gives ensemble means and error bars.
+    params.n_shards must equal the "p" axis size (per-replica rate split).
+    """
+    from nanokappa_tpu.sim.step import StepOutputs, refresh_tau
+
+    step = make_step(
+        geo, mat, btab, rtab, params, axis_name="p", vary_axes=("r", "p")
+    )
+
+    def run_local(state: SimState):
+        # per-replica scalars arrive as (1,) views of the stacked axis
+        state = dataclasses.replace(
+            state, lost=state.lost.reshape(()), step=state.step.reshape(())
+        )
+        state = refresh_tau(state, geo, mat, params)
+        state, outs = jax.lax.scan(step, state, length=n_inner)
+        last = jax.tree.map(lambda x: x[-1], outs)
+        # give every output / scalar a leading replica axis of size 1 so
+        # shard_map stacks the independent replica rows
+        last = jax.tree.map(lambda x: jnp.asarray(x)[None], last)
+        state = dataclasses.replace(
+            state, lost=state.lost[None], step=state.step[None]
+        )
+        return state, last
+
+    def specs_for(tree, sharded_cap):
+        def spec_of(path, leaf):
+            name = path[0].name if path else ""
+            if name == "res_counter":
+                return P(("r", "p"), None, None)
+            if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == sharded_cap:
+                return P(("r", "p"), *([None] * (leaf.ndim - 1)))
+            # per-replica vectors / stacked scalars (T_sv, ledgers, key, ...)
+            nd = max(getattr(leaf, "ndim", 1), 1)
+            return P("r", *([None] * (nd - 1)))
+
+        return jax.tree_util.tree_map_with_path(spec_of, tree)
+
+    cache = {}
+
+    def make(state: SimState):
+        in_specs = specs_for(state, state.pos.shape[0])
+        out_specs = (
+            in_specs,
+            StepOutputs(**{
+                f: P("r") for f in StepOutputs.__dataclass_fields__
+            }),
+        )
+        return jax.jit(
+            jax.shard_map(
+                run_local, mesh=mesh, in_specs=(in_specs,), out_specs=out_specs
+            )
+        )
+
+    def run(state: SimState):
+        if "fn" not in cache:
+            cache["fn"] = make(state)
+        return cache["fn"](state)
+
+    return run
+
+
+def stack_ensemble_state(states: list[SimState], mesh: Mesh) -> SimState:
+    """Concatenate per-replica host states along their leading axes (scalars
+    are stacked) and place the result on the ("r","p") mesh. Build each
+    replica's state with a distinct seed so the Monte Carlo chains are
+    independent."""
+    r = mesh.shape["r"]
+    assert len(states) == r
+
+    def cat(*leaves):
+        ls = [jnp.asarray(l) for l in leaves]
+        if ls[0].ndim == 0:
+            return jnp.stack(ls)
+        return jnp.concatenate(ls, axis=0)
+
+    merged = jax.tree.map(lambda *ls: cat(*ls), *states)
+    n_cap_total = merged.pos.shape[0]
+
+    def spec_of(path, leaf):
+        name = path[0].name
+        if name == "res_counter":
+            return P(("r", "p"), None, None)
+        if leaf.ndim >= 1 and leaf.shape[0] == n_cap_total:
+            return P(("r", "p"), *([None] * (leaf.ndim - 1)))
+        return P("r", *([None] * (max(leaf.ndim, 1) - 1)))
+
+    specs = jax.tree_util.tree_map_with_path(spec_of, merged)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), merged, specs
+    )

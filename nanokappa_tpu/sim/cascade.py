@@ -99,7 +99,7 @@ def run_cascade(
     params: SimParams,
     key: jax.Array,
     psum=lambda x: x,
-    axis_name: str | None = None,
+    axis_name: str | tuple | None = None,
 ) -> SimState:
     dt = params.dt
     N = state.pos.shape[0]
@@ -108,6 +108,8 @@ def run_cascade(
     EVT_CAP = _pad8(max(params.inj_cap, N // 16))
 
     def pvary(x):
+        # declare loop-carry zeros device-varying over every mesh axis the
+        # particle data varies over (they become varying after one round)
         return jax.lax.pvary(x, axis_name) if axis_name else x
 
     # ---- stale ray casts, compacted (fresh injections / repairs) -------------

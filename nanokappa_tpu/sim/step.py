@@ -58,13 +58,16 @@ def make_step(
     rtab: ReservoirTables,
     params: SimParams,
     axis_name: str | None = None,
+    vary_axes: tuple | None = None,
 ):
     """Returns step(state) -> (state, StepOutputs). Pure; jit/scan-ready.
 
     With `axis_name` set (inside shard_map over the particle axis) the
     subvolume reductions and reservoir ledgers are all-reduced with psum over
     ICI; everything else is embarrassingly parallel (SURVEY.md section 5.8:
-    particles never interact pairwise, so no migration between shards)."""
+    particles never interact pairwise, so no migration between shards).
+    `vary_axes` lists every mesh axis the particle data varies over (defaults
+    to (axis_name,)); an ensemble replica axis goes here too."""
 
     if axis_name is None:
         psum = lambda x: x  # noqa: E731
@@ -76,6 +79,8 @@ def make_step(
 
         def shard_idx():
             return jax.lax.axis_index(axis_name)
+
+    vary = vary_axes if vary_axes is not None else (axis_name,) if axis_name else None
 
     def step(state: SimState, _=None):
         key = jax.random.fold_in(state.key, state.step)
@@ -90,7 +95,7 @@ def make_step(
         # 2. drift + boundary cascade
         state = run_cascade(
             state, remaining, on_facet, geo, mat, btab, params, k_casc, psum,
-            axis_name,
+            vary,
         )
 
         # 3. rebin + refresh temperatures (classes/Population.py:685-728)

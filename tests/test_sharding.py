@@ -56,6 +56,41 @@ def test_sharded_step_runs_and_matches(small_material, mesh):
     assert len(s8.pos.sharding.device_set) == 8
 
 
+def test_ensemble_mesh_independent_replicas(small_material):
+    """2-D ("r","p") mesh: 2 replicas x 4 particle shards; each replica
+    evolves an independent chain (distinct T_sv rows), outputs stack."""
+    import dataclasses
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from nanokappa_tpu.parallel import (
+        build_ensemble_step, make_ensemble_mesh, stack_ensemble_state,
+    )
+    from nanokappa_tpu.sim.state import init_state as _init
+
+    mat = small_material
+    dom, geo, btab, rtab, params, _ = film_setup(mat, n_particles=4000)
+    params = dataclasses.replace(params, n_cap=8000, n_shards=4)
+    mesh2 = make_ensemble_mesh(2, 4)
+    states = [
+        _init(mat, dom, geo, params, 4000, temp_dist="linear", seed=100 + i)
+        for i in range(2)
+    ]
+    gstate = stack_ensemble_state(states, mesh2)
+    run = build_ensemble_step(
+        geo, mat.device_tables(), btab, rtab, params, mesh2, n_inner=5
+    )
+    for _ in range(6):
+        gstate, out = run(gstate)
+    T = np.asarray(out.T_sv)  # (2, SV)
+    assert T.shape == (2, 10)
+    # independent chains: same physics, different noise
+    assert np.abs(T[0] - T[1]).max() > 1e-6
+    assert np.abs(T[0] - T[1]).max() < 1.0
+    assert np.all(T > 298.0) and np.all(T < 302.0)
+    assert int(np.asarray(out.lost).sum()) == 0
+
+
 def test_sharded_outputs_replicated(small_material, mesh):
     import dataclasses
 
