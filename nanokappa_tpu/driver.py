@@ -195,7 +195,7 @@ class Simulation:
 
         pool = self.domain.mesh.sample_volume(1 << 13, np.random.default_rng(1))
         self.contains_check = make_contains_check(
-            self.geo, jnp.asarray(pool, dtype=jnp.float32)
+            self.geo, jnp.asarray(pool, dtype=jnp.float32), self.params.dt
         )
         self._repair_key = jax.random.PRNGKey(int(args.seed[0]) + 777)
         self.n_escaped_total = 0

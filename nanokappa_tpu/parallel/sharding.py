@@ -61,6 +61,8 @@ def state_specs(state: SimState) -> SimState:
         name = path[0].name
         if name == "res_counter":
             return P("p", None, None)
+        if name == "free_count":
+            return P("p")
         if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == n_cap:
             return P("p") if leaf.ndim == 1 else P("p", *([None] * (leaf.ndim - 1)))
         return P()
@@ -108,6 +110,8 @@ def build_sharded_step(
             name = path[0].name if path else ""
             if name == "res_counter":
                 return P("p", None, None)
+            if name == "free_count":
+                return P("p")
             if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == sharded_cap:
                 return (
                     P("p") if leaf.ndim == 1 else P("p", *([None] * (leaf.ndim - 1)))
@@ -187,6 +191,8 @@ def build_ensemble_step(
             name = path[0].name if path else ""
             if name == "res_counter":
                 return P(("r", "p"), None, None)
+            if name == "free_count":
+                return P(("r", "p"))
             if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == sharded_cap:
                 return P(("r", "p"), *([None] * (leaf.ndim - 1)))
             # per-replica vectors / stacked scalars (T_sv, ledgers, key, ...)
@@ -240,6 +246,8 @@ def stack_ensemble_state(states: list[SimState], mesh: Mesh) -> SimState:
         name = path[0].name
         if name == "res_counter":
             return P(("r", "p"), None, None)
+        if name == "free_count":
+            return P(("r", "p"))
         if leaf.ndim >= 1 and leaf.shape[0] == n_cap_total:
             return P(("r", "p"), *([None] * (leaf.ndim - 1)))
         return P("r", *([None] * (max(leaf.ndim, 1) - 1)))

@@ -93,6 +93,8 @@ def run_cascade(
     state: SimState,
     remaining: jax.Array,
     on_facet: jax.Array,
+    stale_idx: jax.Array,  # (inj_cap,) slot ids needing a ray cast (from the
+    #   allocator pop in inject); sentinel N for unused lanes
     geo: DeviceGeometry,
     mat: MaterialTables,
     btab: BoundaryTables,
@@ -112,9 +114,9 @@ def run_cascade(
         # particle data varies over (they become varying after one round)
         return jax.lax.pvary(x, axis_name) if axis_name else x
 
-    # ---- stale ray casts, compacted (fresh injections / repairs) -------------
-    stale = (state.coll_facet == STALE) & state.alive
-    sidx, _ = _compact(stale, EVT_CAP)
+    # ---- stale ray casts at the freshly injected slots ------------------------
+    # (the allocator pop in inject IS the stale set — no N-wide compaction)
+    sidx = stale_idx
     t_b, f_b = raycast(
         geo, state.pos[sidx], state.vel[sidx], on_facet[sidx]
     )
@@ -122,9 +124,8 @@ def run_cascade(
         (t_b / dt).astype(state.t_coll.dtype), mode="drop"
     )
     coll_facet = state.coll_facet.at[sidx].set(f_b, mode="drop")
-    # stale lanes beyond the buffer capacity stay STALE: freeze them for this
-    # step (no blind drift without a collision cache) — they are recast next
-    # step; the frozen-dt count lands in the lost telemetry below
+    # defensive: any remaining STALE alive entry (e.g. an externally edited
+    # state) freezes for this step instead of drifting blindly
     still_stale = state.alive & (coll_facet == STALE)
     t_coll = jnp.where(still_stale, jnp.inf, t_coll)
 
@@ -224,6 +225,16 @@ def run_cascade(
         t_coll.at[pidx].set(out.t_coll, mode="drop")
     )
     alive_full = state.alive.at[pidx].set(buf_alive, mode="drop")
+
+    # push freed slots (absorbed / defective / stuck lanes) onto the free list
+    freed = vbuf & ~buf_alive
+    frank = jnp.cumsum(freed) - 1  # buffer-sized
+    n_freed = freed.sum(dtype=jnp.int32)
+    fc0 = state.free_count[0]
+    fidx = jnp.where(freed, fc0 + frank, N)
+    free_list = state.free_list.at[fidx].set(pidx, mode="drop")
+    free_count = state.free_count.at[0].add(n_freed)
+
     ledger = psum(out.ledger)
     new_state = SimState(
         pos=merged[:, 0:3],
@@ -238,6 +249,8 @@ def run_cascade(
         sv_id=state.sv_id,
         T_sv=state.T_sv,
         Np_sv=state.Np_sv,
+        free_list=free_list,
+        free_count=free_count,
         res_counter=state.res_counter,
         n_leaving=ledger[:R, 4].astype(jnp.int32),
         res_energy_balance=state.res_energy_balance - ledger[:R, 0],

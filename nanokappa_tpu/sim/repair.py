@@ -23,11 +23,13 @@ _TOL = 1e-2  # angstrom; bounding-box escape tolerance (reference uses 1e-10
 #              in f64; f32 positions at 2e4 A scale carry ~1e-3 A of noise)
 
 
-def make_contains_check(geo: DeviceGeometry, interior_pool: jax.Array):
+def make_contains_check(geo: DeviceGeometry, interior_pool: jax.Array, dt: float = 1.0):
     """Returns check(state, key) -> (state, n_escaped)."""
 
     @jax.jit
     def check(state: SimState, key: jax.Array):
+        from nanokappa_tpu.ops.raycast import raycast
+
         lo, hi = geo.bounds[0], geo.bounds[1]
         out = state.alive & (
             jnp.any(state.pos < lo[None] - _TOL, axis=1)
@@ -37,8 +39,16 @@ def make_contains_check(geo: DeviceGeometry, interior_pool: jax.Array):
             key, (state.pos.shape[0],), 0, interior_pool.shape[0]
         )
         pos = jnp.where(out[:, None], interior_pool[idx], state.pos)
-        coll_facet = jnp.where(out, STALE, state.coll_facet)
-        new_state = dataclasses.replace(state, pos=pos, coll_facet=coll_facet)
+        # re-cast the repaired particles immediately (runs every 100 steps;
+        # the per-step cascade no longer sweeps for stray STALE entries)
+        t, f = raycast(
+            geo, pos, state.vel, jnp.full(pos.shape[0], -1, jnp.int32)
+        )
+        t_coll = jnp.where(out, t / dt, state.t_coll)
+        coll_facet = jnp.where(out, f, state.coll_facet)
+        new_state = dataclasses.replace(
+            state, pos=pos, t_coll=t_coll, coll_facet=coll_facet
+        )
         return new_state, out.sum(dtype=jnp.int32)
 
     return check

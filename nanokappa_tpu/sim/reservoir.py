@@ -94,6 +94,7 @@ def inject(
             state,
             jnp.where(state.alive, 1.0, 0.0).astype(jnp.float32),
             jnp.full(state.alive.shape, -1, dtype=jnp.int32),
+            jnp.full(params.inj_cap, state.alive.shape[0], dtype=jnp.int32),
         )
 
     cap = params.inj_cap
@@ -209,15 +210,15 @@ def inject(
     inj_facet = geo.res_facet[inj_res]
 
     # --- write into dead slots ---------------------------------------------------
-    # compact the dead slots and scatter the (cap,)-sized injection buffers
-    # into them: one full-width cumsum, everything else at buffer width
-    from nanokappa_tpu.sim.cascade import _compact
-
+    # pop slots from the persistent free list: everything at buffer width
     N = state.alive.shape[0]
-    didx, n_dead = _compact(~state.alive, cap)
+    n_free = state.free_count[0]
+    n_used = jnp.minimum(n_valid, n_free)
     lane = jnp.arange(cap, dtype=jnp.int32)
-    write = lane < n_valid  # buffer lanes that hold a real particle
+    write = lane < n_used  # buffer lanes that hold a real particle
+    didx = state.free_list[jnp.maximum(n_free - 1 - lane, 0)]
     didx_w = jnp.where(write, didx, N)  # sentinel -> dropped on scatter
+    free_count = state.free_count.at[0].add(-n_used)
 
     pos = state.pos.at[didx_w].set(inj_pos, mode="drop")
     mode = state.mode.at[didx_w].set(inj_mode, mode="drop")
@@ -237,7 +238,7 @@ def inject(
         .set((inj_dtin / dt).astype(jnp.float32), mode="drop")
     )
 
-    lost = state.lost + psum(dropped_inj + jnp.maximum(n_valid - n_dead, 0))
+    lost = state.lost + psum(dropped_inj + jnp.maximum(n_valid - n_used, 0))
 
     new_state = SimState(
         pos=pos,
@@ -252,6 +253,8 @@ def inject(
         sv_id=state.sv_id,
         T_sv=state.T_sv,
         Np_sv=state.Np_sv,
+        free_list=state.free_list,
+        free_count=free_count,
         res_counter=new_counter,
         n_leaving=state.n_leaving,
         res_energy_balance=state.res_energy_balance,
@@ -260,4 +263,4 @@ def inject(
         key=state.key,
         step=state.step,
     )
-    return new_state, remaining, on_facet
+    return new_state, remaining, on_facet, didx_w

@@ -71,6 +71,12 @@ class SimState:
     T_sv: jax.Array  # (SV,) f32 subvolume temperatures
     Np_sv: jax.Array  # (SV,) i32
 
+    # free-slot allocator: injection pops, the event cascade pushes freed
+    # slots — keeps every per-step allocation at buffer width instead of
+    # recomputing an N-wide dead-slot compaction each step
+    free_list: jax.Array  # (N,) i32 stack of dead slot indices (shard-local)
+    free_count: jax.Array  # (S,) i32 stack depth per particle shard
+
     # reservoir machinery
     res_counter: jax.Array  # (S,R,M) f32 fractional accumulator ('constant'
     #   generation); leading axis = particle shard (S=1 single chip), so the
@@ -227,6 +233,19 @@ def init_state(
     alive = np.zeros(n_cap, dtype=bool)
     alive[slots] = True
 
+    # per-shard free lists of LOCAL slot indices (each shard allocates only
+    # within its own segment of the pool)
+    S = params.n_shards
+    n_local = n_cap // S
+    assert n_cap % S == 0, "pool capacity must divide evenly across shards"
+    free_list = np.zeros(n_cap, dtype=np.int32)
+    free_count = np.zeros(S, dtype=np.int32)
+    for s in range(S):
+        seg = ~alive[s * n_local : (s + 1) * n_local]
+        loc = np.nonzero(seg)[0].astype(np.int32)
+        free_count[s] = len(loc)
+        free_list[s * n_local : s * n_local + len(loc)] = loc
+
     vel_p = mat.group_vel.reshape(-1, 3)[modes]
     ti = np.clip(np.searchsorted(mat.tau_T, T_p) - 1, 0, len(mat.tau_T) - 2)
     wt = np.clip(
@@ -247,6 +266,8 @@ def init_state(
         sv_id=jnp.asarray(full(sv.astype(np.int32), 0)),
         T_sv=jnp.asarray(T_sv, dtype=jnp.float32),
         Np_sv=jnp.asarray(np.bincount(sv, minlength=SV).astype(np.int32)),
+        free_list=jnp.asarray(free_list),
+        free_count=jnp.asarray(free_count),
         res_counter=jnp.asarray(
             rng.random((params.n_shards, R, M)).astype(np.float32)
         ),  # random phase, like reference classes/Population.py:343

@@ -88,14 +88,14 @@ def make_step(
         k_inj, k_casc = jax.random.split(key)
 
         # 1. reservoir injection
-        state, remaining, on_facet = inject(
+        state, remaining, on_facet, stale_idx = inject(
             state, geo, mat, rtab, params, k_inj, shard_idx(), psum
         )
 
         # 2. drift + boundary cascade
         state = run_cascade(
-            state, remaining, on_facet, geo, mat, btab, params, k_casc, psum,
-            vary,
+            state, remaining, on_facet, stale_idx, geo, mat, btab, params,
+            k_casc, psum, vary,
         )
 
         # 3. rebin + refresh temperatures (classes/Population.py:685-728)
@@ -131,6 +131,8 @@ def make_step(
             omega=state.omega,
             tau=state.tau,
             dev=dev,
+            free_list=state.free_list,
+            free_count=state.free_count,
             alive=state.alive,
             t_coll=state.t_coll,
             coll_facet=state.coll_facet,
