@@ -65,10 +65,22 @@ def _compact(mask: jax.Array, cap: int):
     n = mask.shape[0]
     csum = jnp.cumsum(mask.astype(jnp.int32))
     n_valid = jnp.minimum(csum[-1], cap)
-    j = jnp.arange(cap, dtype=jnp.int32)
-    pidx = jnp.searchsorted(csum, j + 1, side="left").astype(jnp.int32)
-    pidx = jnp.where(j < n_valid, pidx, n)
+    if _COMPACT_IMPL == "searchsorted":
+        j = jnp.arange(cap, dtype=jnp.int32)
+        pidx = jnp.searchsorted(csum, j + 1, side="left").astype(jnp.int32)
+        pidx = jnp.where(j < n_valid, pidx, n)
+        return pidx, n_valid
+    rank = csum - 1
+    slot = jnp.where(mask & (rank < cap), rank, cap)
+    pidx = (
+        jnp.full(cap + 1, n, dtype=jnp.int32)
+        .at[slot]
+        .set(jnp.arange(n, dtype=jnp.int32), mode="drop")[:cap]
+    )
     return pidx, n_valid
+
+
+_COMPACT_IMPL = "scatter"
 
 
 class _Buf(NamedTuple):
