@@ -63,7 +63,14 @@ class TriMesh:
         """
         eps = 1e-6 * max(np.ptp(self.bounds, axis=0).max(), 1.0)
         origins = self.face_centroids + self.face_normals * eps
-        crossings = self._count_crossings(origins, self.face_normals)
+        # jitter the ray off the normal: on symmetric meshes the exact normal
+        # ray can exit through a triangle edge shared by two faces and get
+        # counted twice (the reference dedupes duplicate hits instead,
+        # classes/Mesh.py:149-153)
+        jitter = np.array([0.5385125363, 0.3122954034, 0.7826247243])
+        d = self.face_normals + 1e-3 * jitter
+        d = d / np.linalg.norm(d, axis=1, keepdims=True)
+        crossings = self._count_crossings(origins, d)
         flip = crossings % 2 == 1  # odd -> normal points into the solid
         if np.any(flip):
             self.faces[flip] = self.faces[flip][:, ::-1]

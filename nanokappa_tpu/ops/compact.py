@@ -1,0 +1,99 @@
+"""Pallas stream-compaction: indices of True mask entries, packed to front.
+
+The cascade needs the indices of boundary-hitting particles every step. Dense
+XLA formulations cost ~10 ms at N=1e6 (scatter and gather both run at ~1e8
+random elements/s on TPU). Two-stage design:
+
+  1. Pallas kernel (parallel grid over 16K-bit blocks): every 128-lane row
+     compacts its True lanes to the front IN REGISTER with a log-shift
+     network — 7 rounds of (roll, select): an element whose remaining
+     left-shift distance has bit s set takes a 2^s hop. Shift distances
+     (lane - rank + 1, from a Hillis-Steele cumsum) are non-decreasing along
+     the row, so hops never collide. All rows of the block move in parallel;
+     stores are static and aligned.
+  2. XLA assembly: a searchsorted over the (N/128,) running row-count table
+     maps each output lane to its source row; one gather pulls the packed
+     indices. The table is 40 KB at N=1e6 — the binary search stays in cache.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ROWS = 128
+_LANES = 128
+_B = _ROWS * _LANES  # 16384 mask bits per grid step
+_BIG = 1 << 30
+
+
+def _kernel(mask_ref, idx_ref):
+    i = pl.program_id(0)
+    m = mask_ref[0] > 0  # (R,128) bool
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 0)
+
+    # inclusive cumsum along lanes (Hillis-Steele)
+    c = m.astype(jnp.int32)
+    s = 1
+    while s < _LANES:
+        rolled = pltpu.roll(c, s, axis=1)
+        c = c + jnp.where(lane >= s, rolled, 0)
+        s *= 2
+
+    # left-shift distance to the packed position; invalid lanes never move in
+    delta = jnp.where(m, lane - (c - 1), _BIG)
+    val = i * _B + row * _LANES + lane  # global particle index
+
+    s = 1
+    while s < _LANES:
+        # element from lane j+s (left-roll = right-roll by LANES - s)
+        sh_val = pltpu.roll(val, _LANES - s, axis=1)
+        sh_dlt = pltpu.roll(delta, _LANES - s, axis=1)
+        take = (sh_dlt & s) != 0  # arriving element hops 2^s left
+        stay = (delta & s) == 0
+        val = jnp.where(take, sh_val, val)
+        delta = jnp.where(take, sh_dlt - s, jnp.where(stay, delta, _BIG))
+        s *= 2
+
+    idx_ref[0] = val
+
+
+def compact_indices_pallas(mask: jax.Array, cap: int, interpret: bool = False):
+    """Returns (pidx (cap,) int32 with sentinel N for unused lanes, n_valid)."""
+    n = mask.shape[0]
+    n_pad = -(-n // _B) * _B
+    if n_pad != n:
+        mask = jnp.pad(mask, (0, n_pad - n))
+
+    m3 = mask.astype(jnp.int32).reshape(-1, _ROWS, _LANES)
+    nb = m3.shape[0]
+    idx = pl.pallas_call(
+        _kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, _ROWS, _LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _ROWS, _LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, _ROWS, _LANES), jnp.int32),
+        interpret=interpret,
+    )(m3)
+
+    # assembly: map output lane j -> source row via the running count table
+    counts = m3.sum(axis=2).reshape(-1)  # (nb*_ROWS,) per-row True counts
+    csum = jnp.cumsum(counts)
+    n_valid = jnp.minimum(csum[-1], cap)
+    j = jnp.arange(cap, dtype=jnp.int32)
+    rowid = jnp.searchsorted(csum, j + 1, side="left").astype(jnp.int32)
+    rowid = jnp.minimum(rowid, counts.shape[0] - 1)
+    start = csum[rowid] - counts[rowid]
+    within = jnp.clip(j - start, 0, _LANES - 1)
+    pidx = idx.reshape(-1, _LANES)[rowid, within]
+    pidx = jnp.where(j < n_valid, pidx, n)
+    return pidx, n_valid

@@ -62,6 +62,13 @@ def _compact(mask: jax.Array, cap: int):
     element = first position where cumsum reaches j+1): ~log2(N) rounds of
     (cap,)-sized gathers. The scatter formulation (write rank -> index) costs
     ~10 ms at N=1e6 on TPU (dense scatters run at ~1e8 elements/s)."""
+    if _COMPACT_IMPL == "pallas" and mask.ndim == 1:
+        import jax as _jax
+
+        if _jax.default_backend() != "cpu":  # Pallas TPU kernel
+            from nanokappa_tpu.ops.compact import compact_indices_pallas
+
+            return compact_indices_pallas(mask, cap)
     n = mask.shape[0]
     csum = jnp.cumsum(mask.astype(jnp.int32))
     n_valid = jnp.minimum(csum[-1], cap)
@@ -80,7 +87,8 @@ def _compact(mask: jax.Array, cap: int):
     return pidx, n_valid
 
 
-_COMPACT_IMPL = "scatter"
+_COMPACT_IMPL = "scatter"  # "pallas" (TPU kernel) | "scatter" | "searchsorted" —
+#   back-to-back benches: scatter 122.9x, pallas 118.8x, searchsorted 86x
 
 
 class _Buf(NamedTuple):
