@@ -263,7 +263,7 @@ def build_domain(
         axis = 0
         centers = grid_centers(mesh, grid)
         volumes = _mc_subvol_volume(mesh, centers, rng)
-        sv_connections = _nearest_connections(centers)
+        sv_connections = _nearest_connections(centers, mesh)
     elif sv_type == "voronoi":
         from nanokappa_tpu.geometry.subvolumes import lloyd_centers
 
@@ -271,7 +271,7 @@ def build_domain(
         n_sv = int(subvolumes[1])
         centers = lloyd_centers(mesh, n_sv, rng)
         volumes = _mc_subvol_volume(mesh, centers, rng)
-        sv_connections = _nearest_connections(centers)
+        sv_connections = _nearest_connections(centers, mesh)
     else:
         raise ValueError(f"invalid subvolume type '{sv_type}'")
 
@@ -316,10 +316,11 @@ def _mc_subvol_volume(
     return cover * mesh.volume
 
 
-def _nearest_connections(centers: np.ndarray) -> np.ndarray:
+def _nearest_connections(centers: np.ndarray, mesh: TriMesh | None = None) -> np.ndarray:
     """Connect each centre to its natural neighbours (midpoint closest to both
-    ends) — a simplified version of the reference's occlusion-pruned
-    connection graph (classes/Geometry.py:961-1052)."""
+    ends), pruning connections whose midpoints fall outside the solid —
+    the reference's midpoint-containment + occlusion pruning
+    (classes/Geometry.py:961-1052)."""
     n = centers.shape[0]
     pairs = []
     for i in range(n):
@@ -329,4 +330,14 @@ def _nearest_connections(centers: np.ndarray) -> np.ndarray:
             dij = np.linalg.norm(centers[i] - mid)
             if np.all(d >= dij - 1e-9):
                 pairs.append((i, j))
-    return np.asarray(pairs, dtype=int).reshape(-1, 2)
+    pairs = np.asarray(pairs, dtype=int).reshape(-1, 2)
+    if mesh is not None and len(pairs):
+        # occlusion: sample a few points along each connection; all must lie
+        # inside the solid (a connection across a hole is not a transport path)
+        keep = []
+        for a, b in pairs:
+            ts = np.linspace(0.25, 0.75, 3)[:, None]
+            probe = centers[a] * (1 - ts) + centers[b] * ts
+            keep.append(bool(np.all(mesh.contains(probe))))
+        pairs = pairs[np.asarray(keep)]
+    return pairs

@@ -127,7 +127,7 @@ def run_cascade(
     N = state.pos.shape[0]
     R = geo.n_reservoirs
     R8 = _pad8(R + 1)
-    EVT_CAP = _pad8(max(params.inj_cap, N // 16))
+    EVT_CAP = _pad8(params.evt_cap or max(params.inj_cap, N // 16))
 
     def pvary(x):
         # declare loop-carry zeros device-varying over every mesh axis the
@@ -204,25 +204,82 @@ def run_cascade(
         round=jnp.zeros((), jnp.int32),
     )
 
+    body = partial(
+        _event_round, geo=geo, mat=mat, btab=btab, params=params, R8=R8,
+        T_sv=state.T_sv,
+    )
+
+    # ---- round 1 at full buffer width; most events finish here ---------------
+    buf1 = body(buf)
+
+    # ---- rounds 2+ on a re-compacted narrow buffer (survivors are few: a
+    # particle only continues if it hit ANOTHER wall within the same dt) ------
+    EVT2 = _pad8(max(EVT_CAP // 8, 256))
+    surv = buf1.alive & (buf1.remaining > _REMAIN_EPS)
+    sidx2, n2 = _compact(surv, EVT2)
+    frozen2 = surv.sum(dtype=jnp.int32) - n2  # overflow: stay alive, path frozen
+    lane2 = jnp.arange(EVT2, dtype=jnp.int32)
+    v2 = lane2 < n2
+
+    def take2(x, fill):
+        return jnp.where(v2 if x.ndim == 1 else v2[:, None], x[sidx2], fill)
+
+    buf2 = _Buf(
+        pos=buf1.pos[sidx2],
+        mode=buf1.mode[sidx2],
+        vel=buf1.vel[sidx2],
+        omega=buf1.omega[sidx2],
+        tau=buf1.tau[sidx2],
+        dev=buf1.dev[sidx2],
+        alive=v2,
+        t_coll=take2(buf1.t_coll, 0.0),
+        coll_facet=take2(buf1.coll_facet, -1),
+        on_facet=buf1.on_facet[sidx2],
+        remaining=take2(buf1.remaining, 0.0),
+        ledger=buf1.ledger,
+        lost=buf1.lost,
+        key=buf1.key,
+        round=buf1.round,
+    )
+
     def cond(b: _Buf):
         return jnp.any(b.alive & (b.remaining > _REMAIN_EPS)) & (
             b.round < params.k_max
         )
 
-    body = partial(
-        _event_round, geo=geo, mat=mat, btab=btab, params=params, R8=R8,
-        T_sv=state.T_sv,
+    out2 = jax.lax.while_loop(cond, body, buf2)
+
+    # merge the narrow buffer back into the round-1 buffer
+    def put2(full, bufval):
+        return full.at[sidx2].set(bufval, mode="drop")
+
+    out = buf1._replace(
+        pos=put2(buf1.pos, out2.pos),
+        mode=put2(buf1.mode, out2.mode),
+        vel=put2(buf1.vel, out2.vel),
+        omega=put2(buf1.omega, out2.omega),
+        tau=put2(buf1.tau, out2.tau),
+        dev=put2(buf1.dev, out2.dev),
+        alive=put2(buf1.alive, out2.alive),
+        t_coll=put2(buf1.t_coll, out2.t_coll),
+        coll_facet=put2(buf1.coll_facet, out2.coll_facet),
+        remaining=put2(buf1.remaining, out2.remaining),
+        ledger=out2.ledger,
+        lost=out2.lost,
     )
-    out = jax.lax.while_loop(cond, body, buf)
 
     # stuck after k_max rounds: quarantine (reference indexes_del_extra,
-    # classes/Population.py:1553,1572)
-    stuck = out.alive & (out.remaining > _REMAIN_EPS)
+    # classes/Population.py:1553,1572); frozen-overflow lanes stay alive with
+    # their event pending for the next step
+    stuck = out.alive & (out.remaining > _REMAIN_EPS) & put2(
+        jnp.zeros(EVT_CAP, bool), v2
+    )
     buf_alive = out.alive & ~stuck
     lost = (
         out.lost
         + stuck.sum(dtype=jnp.int32)
         + frozen
+        + frozen2
         + still_stale.sum(dtype=jnp.int32)
     )
 

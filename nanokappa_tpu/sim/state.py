@@ -41,6 +41,8 @@ class SimParams:
     particle_density: float = field(metadata=dict(static=True), default=0.0)
     n_active_modes: int = field(metadata=dict(static=True), default=0)
     t_reference: float = field(metadata=dict(static=True), default=300.0)
+    evt_cap: int = field(metadata=dict(static=True), default=0)  # event-buffer
+    #   width (0 = max(inj_cap, n_cap // 16))
     n_shards: int = field(metadata=dict(static=True), default=1)  # particle-
     #   axis data parallelism: each shard runs the reservoir process at
     #   rate/n_shards with its own accumulator
