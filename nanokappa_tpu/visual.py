@@ -293,17 +293,18 @@ def runtime_figures(sim):
     """Particle scatter figures refreshed during the run (reference
     plot_figures every 100 steps, classes/Population.py:1729-1735)."""
     s = sim.state
+    cmap = str(sim.args.colormap[0])
     alive = np.asarray(s.alive)
     pos = np.asarray(s.pos)[alive]
     for prop in list(sim.args.fig_plot)[:1]:  # first property only, per cycle
         if prop in ("e", "energy"):
             omega = sim.material.omega.reshape(-1)[np.asarray(s.mode)[alive]]
             colors = HBAR * omega * np.asarray(s.dev)[alive]
-            plot_particles(sim.folder, pos, colors, "energy deviation [eV]", "fig_energy.png")
+            plot_particles(sim.folder, pos, colors, "energy deviation [eV]", "fig_energy.png", cmap)
         elif prop in ("T", "temperature", "temperatures"):
             T_sv = np.asarray(s.T_sv, dtype=float)
             colors = T_sv[np.asarray(s.sv_id)[alive]]
-            plot_particles(sim.folder, pos, colors, "Temperature [K]", "fig_temperature.png")
+            plot_particles(sim.folder, pos, colors, "Temperature [K]", "fig_temperature.png", cmap)
 
 
 def plot_kappa_path(sim, folder: str):
