@@ -43,6 +43,9 @@ class SimParams:
     t_reference: float = field(metadata=dict(static=True), default=300.0)
     evt_cap: int = field(metadata=dict(static=True), default=0)  # event-buffer
     #   width (0 = max(inj_cap, n_cap // 16))
+    debug_skip: str = field(metadata=dict(static=True), default="")  # comma list
+    #   of phases to skip for perf dissection ONLY (physics-breaking):
+    #   'inject' | 'cascade' | 'bin' | 'rta' 
     n_shards: int = field(metadata=dict(static=True), default=1)  # particle-
     #   axis data parallelism: each shard runs the reservoir process at
     #   rate/n_shards with its own accumulator

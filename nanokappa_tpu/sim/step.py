@@ -82,23 +82,46 @@ def make_step(
 
     vary = vary_axes if vary_axes is not None else (axis_name,) if axis_name else None
 
+    skip = set(params.debug_skip.split(",")) if params.debug_skip else set()
+
     def step(state: SimState, _=None):
         key = jax.random.fold_in(state.key, state.step)
         key = jax.random.fold_in(key, shard_idx())
         k_inj, k_casc = jax.random.split(key)
 
         # 1. reservoir injection
-        state, remaining, on_facet, stale_idx = inject(
-            state, geo, mat, rtab, params, k_inj, shard_idx(), psum
-        )
+        if "inject" not in skip:
+            state, remaining, on_facet, stale_idx = inject(
+                state, geo, mat, rtab, params, k_inj, shard_idx(), psum
+            )
+        else:
+            remaining = jnp.where(state.alive, 1.0, 0.0).astype(jnp.float32)
+            on_facet = jnp.full(state.alive.shape, -1, dtype=jnp.int32)
+            stale_idx = jnp.full(
+                params.inj_cap, state.alive.shape[0], dtype=jnp.int32
+            )
 
         # 2. drift + boundary cascade
-        state = run_cascade(
-            state, remaining, on_facet, stale_idx, geo, mat, btab, params,
-            k_casc, psum, vary,
-        )
+        if "cascade" not in skip:
+            state = run_cascade(
+                state, remaining, on_facet, stale_idx, geo, mat, btab, params,
+                k_casc, psum, vary,
+            )
 
         # 3. rebin + refresh temperatures (classes/Population.py:685-728)
+        if "bin" in skip:
+            sv = state.sv_id
+            energies = state.dev
+            np_sv = state.Np_sv
+            phi = jnp.zeros((geo.n_subvols, 3), jnp.float32)
+            E_sv = lookup_E_of_T(mat, state.T_sv)
+            T_sv_new = state.T_sv
+            T_p = state.T_sv[sv]
+            dev = state.dev if "rta" in skip else rta_scatter(
+                mat, state.dev, state.mode, state.omega, T_p, state.alive,
+                params.dt, params.t_reference, tau=state.tau,
+            )
+            return _mk(state, dev, sv, T_sv_new, np_sv, E_sv, phi, energies, psum)
         sv = subvol_id(geo, state.pos)
         # dn is taken against the *subvolume* temperature, not the particle-
         # interpolated one (classes/Population.py:707); heat flux uses the
@@ -119,10 +142,13 @@ def make_step(
         T_p = interp_T_particles(geo, T_sv_new, state.pos, sv, params.temp_interp)
 
         # 4. RTA scattering toward the local equilibrium (cached lifetimes)
-        dev = rta_scatter(
-            mat, state.dev, state.mode, state.omega, T_p, state.alive,
-            params.dt, params.t_reference, tau=state.tau,
-        )
+        if "rta" not in skip:
+            dev = rta_scatter(
+                mat, state.dev, state.mode, state.omega, T_p, state.alive,
+                params.dt, params.t_reference, tau=state.tau,
+            )
+        else:
+            dev = state.dev
 
         new_state = SimState(
             pos=state.pos,
@@ -162,6 +188,23 @@ def make_step(
         return new_state, outputs
 
     return step
+
+
+def _mk(state, dev, sv, T_sv_new, np_sv, E_sv, phi, energies, psum):
+    import dataclasses
+
+    new_state = dataclasses.replace(
+        state, dev=dev, sv_id=sv, T_sv=T_sv_new, Np_sv=np_sv,
+        step=state.step + 1,
+    )
+    outputs = StepOutputs(
+        T_sv=T_sv_new, E_sv=E_sv, phi_sv=phi, Np_sv=np_sv, N_p=np_sv.sum(),
+        total_energy=psum(energies.sum()),
+        res_energy_balance=new_state.res_energy_balance,
+        res_heat_flux=new_state.res_heat_flux,
+        n_leaving=new_state.n_leaving, lost=new_state.lost,
+    )
+    return new_state, outputs
 
 
 def build_step(geo, mat, btab, rtab, params, n_inner: int = 1):
