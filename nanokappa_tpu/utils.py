@@ -5,6 +5,18 @@ from __future__ import annotations
 import os
 
 
+def enable_fast_prng():
+    """Use the TPU hardware RBG PRNG for jax.random keys: the default
+    threefry generator costs several ms per step in the event buffers; RBG is
+    near-free and statistically ample for Monte Carlo transport sampling."""
+    import jax
+
+    try:
+        jax.config.update("jax_default_prng_impl", "rbg")
+    except Exception:
+        pass
+
+
 def enable_compilation_cache(path: str | None = None):
     """Persistent XLA compilation cache: the fused simulation step is a large
     program and the TPU remote-compile path can take minutes; caching makes
