@@ -52,7 +52,7 @@ def initialise_parser(debug_flag: bool = True) -> argparse.ArgumentParser:
     p.add_argument("--empty_subvols", "-es", type=int, nargs="*", default=[], help=dbg("Subvolume indices kept empty at initialisation."))
     p.add_argument("--subvol_material", "-sm", type=int, nargs="*", default=[], help=dbg("Material index per subvolume."))
     p.add_argument("--reference_temp", "-rt", nargs=1, default=["local"], help=dbg('Reference temperature in K, or "local".'))
-    p.add_argument("--reservoir_gen", "-gn", type=str, nargs="*", default=["constant"], choices=["fixed_rate", "one_to_one", "constant"], help=dbg("Reservoir particle generation scheme."))
+    p.add_argument("--reservoir_gen", "-gn", type=str, nargs="*", default=["constant"], choices=["fixed_rate", "one_to_one", "constant", "pooled"], help=dbg("Reservoir particle generation scheme."))
     p.add_argument("--path_points", "-pp", nargs="*", default=[], help=dbg("Points of the kappa path, declared like --bound_pos."))
     p.add_argument("--energy_normal", "-en", type=str, nargs=1, default=["mean"], help=dbg('Subvolume energy normalisation: "mean" or "fixed".'))
     p.add_argument("--bound_scat", "-bs", type=str, nargs="*", default=["velocity"], help=dbg('Specular reflection model: "velocity" or "k".'))

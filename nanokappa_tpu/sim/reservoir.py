@@ -37,6 +37,9 @@ from nanokappa_tpu.sim.state import SimParams, SimState, STALE
 class ReservoirTables:
     enter_prob: jax.Array  # (R,M) f32
     enter_cdf: jax.Array  # (R,M) f32 normalised cumulative enter_prob
+    enter_alias_p: jax.Array  # (R,M) f32 Walker alias acceptance
+    enter_alias_i: jax.Array  # (R,M) i32 Walker alias partner
+    enter_lambda: jax.Array  # (R,) f32 total entry rate per reservoir
     n_reservoirs: int = field(metadata=dict(static=True))
 
 
@@ -54,6 +57,9 @@ def build_reservoir_tables(
         return ReservoirTables(
             enter_prob=jnp.zeros((0, M), dtype=dtype),
             enter_cdf=jnp.ones((0, M), dtype=dtype),
+            enter_alias_p=jnp.ones((0, M), dtype=dtype),
+            enter_alias_i=jnp.zeros((0, M), dtype=jnp.int32),
+            enter_lambda=jnp.zeros(0, dtype=dtype),
             n_reservoirs=0,
         )
     v = mat.group_vel.reshape(M, 3)
@@ -64,9 +70,18 @@ def build_reservoir_tables(
     ep = np.maximum(proj.T * dt / bound_thickness[:, None], 0.0)  # (R,M)
     cdf = np.cumsum(ep, axis=1)
     cdf = cdf / cdf[:, -1:]
+    from nanokappa_tpu.sim.boundary_tables import build_alias
+
+    ap = np.ones((R, M))
+    ai = np.zeros((R, M), dtype=np.int64)
+    for r in range(R):
+        ap[r], ai[r] = build_alias(ep[r])
     return ReservoirTables(
         enter_prob=jnp.asarray(ep, dtype=dtype),
         enter_cdf=jnp.asarray(cdf, dtype=dtype),
+        enter_alias_p=jnp.asarray(ap, dtype=dtype),
+        enter_alias_i=jnp.asarray(ai, dtype=jnp.int32),
+        enter_lambda=jnp.asarray(ep.sum(axis=1), dtype=dtype),
         n_reservoirs=R,
     )
 
@@ -147,6 +162,38 @@ def inject(
             base = base + mask.sum(dtype=jnp.int32)
         n_valid = jnp.minimum(base, cap)
         dropped_inj = jnp.maximum(base - cap, 0)
+
+    elif params.res_gen == "pooled":
+        # O(buffer)-cost generation for production-size mode tables: a SCALAR
+        # fractional accumulator per reservoir fixes the total count
+        # (deterministic like 'constant'); modes are drawn from the Walker
+        # alias table of enter_prob (identical marginal distribution, pooled
+        # rather than per-mode count variance); arrival times uniform in dt.
+        lam = rtab.enter_lambda / params.n_shards  # (R,)
+        acc = state.res_counter[0, :, 0] + lam
+        n_r = jnp.floor(acc).astype(jnp.int32)  # (R,)
+        new_counter = (
+            state.res_counter.at[0, :, 0].set(acc - n_r.astype(acc.dtype))
+        )
+        boundaries = jnp.cumsum(n_r)
+        lane = jnp.arange(cap, dtype=jnp.int32)
+        inj_res = jnp.searchsorted(boundaries, lane, side="right").astype(
+            jnp.int32
+        )
+        inj_res = jnp.minimum(inj_res, R - 1)
+        inj_valid = lane < jnp.minimum(boundaries[-1], cap)
+        M_tab = rtab.enter_alias_p.shape[1]
+        jdraw = jax.random.randint(k_counts, (cap,), 0, M_tab)
+        u = jax.random.uniform(k_oto, (cap,))
+        accept = u < rtab.enter_alias_p[inj_res, jdraw]
+        inj_mode = jnp.where(
+            accept, jdraw, rtab.enter_alias_i[inj_res, jdraw]
+        ).astype(jnp.int32)
+        inj_dtin = (params.dt * jax.random.uniform(k_dtin, (cap,))).astype(
+            jnp.float32
+        )
+        n_valid = inj_valid.sum(dtype=jnp.int32)
+        dropped_inj = jnp.maximum(boundaries[-1] - n_valid, 0)
 
     elif params.res_gen == "one_to_one":
         # regenerate exactly n_leaving[r] particles per reservoir by roulette

@@ -88,3 +88,22 @@ def test_specular_correspondence_dump(small_material, tmp_path):
     w_in = w[rows[:, 3].astype(int), rows[:, 4].astype(int)]
     w_out = w[rows[:, 5].astype(int), rows[:, 6].astype(int)]
     np.testing.assert_allclose(w_in, w_out, rtol=1e-6)
+
+
+def test_pooled_generation_matches_constant(small_material):
+    """'pooled' generation (TPU-native O(buffer) scheme for production-size
+    mode tables: scalar accumulators + alias-sampled modes) reproduces the
+    'constant' scheme's steady state within Monte Carlo noise."""
+    mat = small_material
+    dom, geo, btab, rtab, params, state = film_setup(mat, n_particles=1e4)
+    outs = {}
+    for scheme in ("constant", "pooled"):
+        p = dataclasses.replace(params, res_gen=scheme)
+        run = build_step(geo, mat.device_tables(), btab, rtab, p, n_inner=10)
+        s = state
+        for _ in range(25):
+            s, out = run(s)
+        outs[scheme] = np.asarray(out.T_sv)
+        assert abs(int(out.N_p) - 1e4) < 0.15 * 1e4
+        assert int(out.lost) == 0
+    assert np.abs(outs["constant"] - outs["pooled"]).max() < 0.4
