@@ -103,10 +103,25 @@ class Simulation:
         )
         n_cap = int(n_p * float(args.pool_margin[0]))
         n_cap = -(-n_cap // (8 * n_shards)) * 8 * n_shards
+        dt = float(args.timestep[0])
+        # autosize c_max so the per-(r,m) deterministic generation loop can
+        # materialise the highest entry rate (floor(max ep) + 1 fractional);
+        # without this a coarse mode table at high particle density would
+        # clip injections (now also counted into `lost`)
+        self.rtab = build_reservoir_tables(material, self.domain, dt, rho)
+        max_ep = (
+            float(np.max(np.asarray(self.rtab.enter_prob))) / n_shards
+            if self.rtab.n_reservoirs
+            else 0.0
+        )
+        c_max = max(3, int(max_ep) + 1) if str(args.reservoir_gen[0]) in (
+            "constant", "fixed_rate",
+        ) else 3
         self.params = SimParams(
-            dt=float(args.timestep[0]),
+            dt=dt,
             n_cap=n_cap,
             inj_cap=1 << 14,
+            c_max=c_max,
             energy_normal=str(args.energy_normal[0]),
             temp_interp=str(args.temp_interp[0]),
             res_gen=str(args.reservoir_gen[0]),
@@ -122,7 +137,6 @@ class Simulation:
         from nanokappa_tpu.sim.boundary_tables import write_specular_correspondences
 
         write_specular_correspondences(self.btab, material, self.domain, self.folder)
-        self.rtab = build_reservoir_tables(material, self.domain, self.params.dt, rho)
         self.mtab = material.device_tables()
 
         # --- state ----------------------------------------------------------
@@ -232,7 +246,8 @@ class Simulation:
 
         row = dict(T=T, E=E, phi=phi, Np=Np, eb=eb, hf=hf,
                    total_energy=float(out.total_energy),
-                   N_p=int(out.N_p), lost=int(out.lost))
+                   N_p=int(out.N_p), lost=int(out.lost),
+                   frozen=int(out.frozen))
         if dom.subvol_type == "slice":
             ksv, ktot = kappa_slice(
                 T, phi, Np, self.res_T_pad,
@@ -336,10 +351,13 @@ class Simulation:
                 self._write_convergence(row)
             last_row = row
             if self.current_timestep % 100 == 0:
-                if self.params.n_shards == 1:  # sharded repair: round 2+
-                    self._repair_key, k = jax.random.split(self._repair_key)
-                    self.state, n_esc = self.contains_check(self.state, k)
-                    self.n_escaped_total += int(n_esc)
+                # escape self-healing, sharded or not: the check is pure
+                # elementwise jnp over the particle axis, so jit propagates
+                # the state's "p" shardings through it (reference heals
+                # unconditionally, classes/Population.py:1712-1722)
+                self._repair_key, k = jax.random.split(self._repair_key)
+                self.state, n_esc = self.contains_check(self.state, k)
+                self.n_escaped_total += int(n_esc)
                 self._update_residue()
                 # periodic checkpoint + figures (reference run_timestep,
                 # classes/Population.py:1729-1735)

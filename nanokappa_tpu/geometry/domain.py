@@ -293,17 +293,37 @@ def build_domain(
 
 
 def _mc_subvol_volume(
-    mesh: TriMesh, centers: np.ndarray, rng, tol: float = 1e-3
+    mesh: TriMesh,
+    centers: np.ndarray,
+    rng,
+    tol: float = 1e-3,
+    algorithm: str = "mc",
 ) -> np.ndarray:
-    """Monte Carlo subvolume volumes via nearest-centre binning
-    (reference classes/Geometry.py:605-645)."""
+    """Subvolume volumes via nearest-centre binning of interior samples
+    (reference calculate_subvol_volume, classes/Geometry.py:546-650).
+
+    'mc' draws pseudo-random interior points; 'qmc' draws a scrambled Sobol
+    sequence over the bounding box and keeps the contained points (the
+    reference's qmc branch, Geometry.py:554-599) — lower-discrepancy cover
+    estimates at equal sample count."""
     n_sv = centers.shape[0]
     counts = np.zeros(n_sv)
     total = 0
     err = np.ones(n_sv)
     cover = np.zeros(n_sv)
+    sobol = None
+    if algorithm == "qmc":
+        from scipy.stats import qmc as _qmc
+
+        sobol = _qmc.Sobol(3, scramble=True, seed=rng)
     while err.max() > tol and total < 2**22:
-        s = mesh.sample_volume(4096, rng)
+        if sobol is not None:
+            cand = sobol.random(4096) * np.ptp(mesh.bounds, axis=0) + mesh.bounds[0]
+            s = cand[mesh.contains(cand)]
+            if len(s) == 0:
+                continue
+        else:
+            s = mesh.sample_volume(4096, rng)
         d = np.linalg.norm(s[:, None, :] - centers[None], axis=-1)
         r = np.argmin(d, axis=1)
         counts += np.bincount(r, minlength=n_sv)

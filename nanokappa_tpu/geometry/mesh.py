@@ -35,16 +35,55 @@ class TriMesh:
             self.face_normals = cr / np.maximum(np.linalg.norm(cr, axis=1), 1e-300)[:, None]
         self.face_centroids = self.tri.mean(axis=1)
         self.bounds = np.stack([v.min(axis=0), v.max(axis=0)])
+        self._detect_interfaces()
         self._orient_outward()
         self._group_facets()
         self._compute_volume()
+
+    def _detect_interfaces(self):
+        """Mark internal (interface) faces: coplanar membranes whose boundary
+        edges are shared by >2 faces (reference get_interfaces,
+        classes/Mesh.py:329-352). Runs BEFORE orientation: internal faces are
+        excluded from every ray-parity count (winding, containment) and from
+        the divergence-theorem volume, but stay in the face set so device ray
+        casting still collides with them (reference find_boundary keeps them,
+        classes/Mesh.py:806-856; only check_winding masks them out, :132)."""
+        F = len(self.faces)
+        self.face_is_interface = np.zeros(F, dtype=bool)
+        # edge -> number of incident faces, over the whole mesh
+        e0 = np.sort(self.faces[:, [0, 1]], axis=1)
+        e1 = np.sort(self.faces[:, [1, 2]], axis=1)
+        e2 = np.sort(self.faces[:, [2, 0]], axis=1)
+        all_edges = np.concatenate([e0, e1, e2])  # (3F,2)
+        uniq, inv, counts = np.unique(
+            all_edges, axis=0, return_inverse=True, return_counts=True
+        )
+        if not np.any(counts > 2):
+            return
+        edge_count = counts  # per unique edge
+        face_edge = inv.reshape(3, F).T  # (F,3) unique-edge ids per face
+
+        groups = _coplanar_groups(self.faces, self.face_normals, self.tri)
+        for g in np.unique(groups):
+            fs = np.nonzero(groups == g)[0]
+            # boundary edges of this facet: used exactly once within it.
+            # np.all over an EMPTY boundary set is True — a coplanar group
+            # with no free edges (e.g. a doubled membrane sheet) is internal,
+            # exactly as the reference's np.isin([], ...) check behaves.
+            ge = face_edge[fs].reshape(-1)
+            ge_u, ge_c = np.unique(ge, return_counts=True)
+            boundary = ge_u[ge_c == 1]
+            if np.all(edge_count[boundary] > 2):
+                self.face_is_interface[fs] = True
 
     def _compute_volume(self):
         """Signed volume by divergence theorem over oriented faces
         (reference computes it from the Delaunay tetrahedralisation,
         classes/Mesh.py:538-568; the surface integral is equivalent for a
-        closed outward-oriented mesh)."""
-        a, b, c = self.tri[:, 0], self.tri[:, 1], self.tri[:, 2]
+        closed outward-oriented mesh). Internal membranes are excluded: they
+        are not part of the closed boundary."""
+        ext = ~self.face_is_interface
+        a, b, c = self.tri[ext, 0], self.tri[ext, 1], self.tri[ext, 2]
         self.volume = float(np.einsum("ij,ij->i", a, np.cross(b, c)).sum() / 6.0)
         if self.volume < 0:  # globally inverted winding
             self.faces = self.faces[:, ::-1]
@@ -62,6 +101,7 @@ class TriMesh:
         normal crosses the surface an even number of times.
         """
         eps = 1e-6 * max(np.ptp(self.bounds, axis=0).max(), 1.0)
+        ext = ~self.face_is_interface
         origins = self.face_centroids + self.face_normals * eps
         # jitter the ray off the normal: on symmetric meshes the exact normal
         # ray can exit through a triangle edge shared by two faces and get
@@ -70,8 +110,9 @@ class TriMesh:
         jitter = np.array([0.5385125363, 0.3122954034, 0.7826247243])
         d = self.face_normals + 1e-3 * jitter
         d = d / np.linalg.norm(d, axis=1, keepdims=True)
-        crossings = self._count_crossings(origins, d)
-        flip = crossings % 2 == 1  # odd -> normal points into the solid
+        crossings = self._count_crossings(origins[ext], d[ext])
+        flip = np.zeros(len(self.faces), dtype=bool)
+        flip[ext] = crossings % 2 == 1  # odd -> normal points into the solid
         if np.any(flip):
             self.faces[flip] = self.faces[flip][:, ::-1]
             v = self.vertices
@@ -85,12 +126,16 @@ class TriMesh:
                 )[:, None]
 
     def _count_crossings(self, origins: np.ndarray, directions: np.ndarray) -> np.ndarray:
-        """Number of ray-surface intersections (Moller-Trumbore, all pairs)."""
-        a = self.tri[:, 0]
-        e1 = self.tri[:, 1] - self.tri[:, 0]
-        e2 = self.tri[:, 2] - self.tri[:, 0]
+        """Number of ray-surface intersections (Moller-Trumbore, all pairs).
+        Internal membrane faces are never counted: an open internal sheet
+        breaks the even/odd parity of a closed boundary (reference masks them
+        out of the winding parity, classes/Mesh.py:132)."""
+        tri = self.tri[~self.face_is_interface]
+        a = tri[:, 0]
+        e1 = tri[:, 1] - tri[:, 0]
+        e2 = tri[:, 2] - tri[:, 0]
         # native kernel for the uniform-direction case on large meshes
-        if len(self.faces) * len(origins) > 1 << 22 and np.allclose(
+        if len(tri) * len(origins) > 1 << 22 and np.allclose(
             directions, directions[0]
         ):
             from nanokappa_tpu import native
@@ -125,34 +170,10 @@ class TriMesh:
 
     def _group_facets(self):
         """Group coplanar connected faces into facets
-        (reference classes/Mesh.py:244-308)."""
-        F = len(self.faces)
-        # plane key: normal (rounded) + offset
-        off = np.einsum("ij,ij->i", self.face_normals, self.tri[:, 0])
-        keys = np.round(np.concatenate([self.face_normals, off[:, None]], axis=1), 6)
-        _, inv = np.unique(keys, axis=0, return_inverse=True)
-
-        # connectivity via shared edges within the same plane
-        parent = np.arange(F)
-
-        def find(i):
-            while parent[i] != i:
-                parent[i] = parent[parent[i]]
-                i = parent[i]
-            return i
-
-        edge_map: dict[tuple[int, int], int] = {}
-        for fi, face in enumerate(self.faces):
-            for k in range(3):
-                e = (face[k], face[(k + 1) % 3])
-                e = (min(e), max(e))
-                if e in edge_map:
-                    fj = edge_map[e]
-                    if inv[fi] == inv[fj]:
-                        parent[find(fi)] = find(fj)
-                else:
-                    edge_map[e] = fi
-        roots = np.array([find(i) for i in range(F)])
+        (reference classes/Mesh.py:244-308; the coplanarity test is UNSIGNED,
+        |n.n'| > 1-tol at :262, so both sheets of a doubled membrane land in
+        one facet)."""
+        roots = _coplanar_groups(self.faces, self.face_normals, self.tri)
         _, self.face_facet = np.unique(roots, return_inverse=True)
         self.n_facets = int(self.face_facet.max()) + 1
 
@@ -170,6 +191,12 @@ class TriMesh:
                 for fs in self.facets
             ]
         )
+        # a facet is internal iff all its faces are (reference interfacets,
+        # classes/Mesh.py:343-348)
+        self.facet_is_interface = np.array(
+            [bool(np.all(self.face_is_interface[fs])) for fs in self.facets]
+        )
+        self.interfacets = np.nonzero(self.facet_is_interface)[0]
 
     # -- queries ---------------------------------------------------------------
 
@@ -230,6 +257,59 @@ class TriMesh:
     def rezero(self):
         self.vertices = self.vertices - self.vertices.min(axis=0)
         self.update()
+
+
+def _coplanar_groups(
+    faces: np.ndarray, face_normals: np.ndarray, tri: np.ndarray
+) -> np.ndarray:
+    """Unsigned coplanar plane key + edge connectivity -> facet components.
+
+    Mirrors the reference coplanarity rule |n.n'| > 1-tol with equal |k|
+    (classes/Mesh.py:260-266): normals are sign-canonicalised before keying,
+    so antiparallel coincident sheets group together."""
+    # flip decided on the ROUNDED normal (consistent across a facet); the
+    # plane offset uses the EXACT normal — n_exact.v is constant over the
+    # plane to f64 precision, while a rounded normal shifts it by ~1e-6*|v|
+    nr = np.round(face_normals, 6) + 0.0  # +0.0 kills -0.0 in the keys
+    flip = (
+        (nr[:, 0] < 0)
+        | ((nr[:, 0] == 0) & (nr[:, 1] < 0))
+        | ((nr[:, 0] == 0) & (nr[:, 1] == 0) & (nr[:, 2] < 0))
+    )
+    sign = np.where(flip, -1.0, 1.0)
+    n = nr * sign[:, None]
+    off = np.einsum("ij,ij->i", face_normals * sign[:, None], tri[:, 0])
+    keys = np.round(np.concatenate([n, off[:, None]], axis=1), 6) + 0.0
+    _, plane = np.unique(keys, axis=0, return_inverse=True)
+    return _connected_components(faces, plane)
+
+
+def _connected_components(faces: np.ndarray, plane: np.ndarray) -> np.ndarray:
+    """Group faces into edge-connected components within each plane id.
+
+    Returns a (F,) component label per face (union-find over shared edges,
+    restricted to faces with the same `plane` key)."""
+    F = len(faces)
+    parent = np.arange(F)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    edge_map: dict[tuple[int, int], int] = {}
+    for fi, face in enumerate(faces):
+        for k in range(3):
+            e = (face[k], face[(k + 1) % 3])
+            e = (min(e), max(e))
+            if e in edge_map:
+                fj = edge_map[e]
+                if plane[fi] == plane[fj]:
+                    parent[find(fi)] = find(fj)
+            else:
+                edge_map[e] = fi
+    return np.array([find(i) for i in range(F)])
 
 
 def _point_triangle_distance(p: np.ndarray, tri: np.ndarray) -> np.ndarray:

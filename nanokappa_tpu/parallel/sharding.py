@@ -173,7 +173,8 @@ def build_ensemble_step(
     def run_local(state: SimState):
         # per-replica scalars arrive as (1,) views of the stacked axis
         state = dataclasses.replace(
-            state, lost=state.lost.reshape(()), step=state.step.reshape(())
+            state, lost=state.lost.reshape(()), frozen=state.frozen.reshape(()),
+            step=state.step.reshape(()),
         )
         state = refresh_tau(state, geo, mat, params)
         state, outs = jax.lax.scan(step, state, length=n_inner)
@@ -182,7 +183,8 @@ def build_ensemble_step(
         # shard_map stacks the independent replica rows
         last = jax.tree.map(lambda x: jnp.asarray(x)[None], last)
         state = dataclasses.replace(
-            state, lost=state.lost[None], step=state.step[None]
+            state, lost=state.lost[None], frozen=state.frozen[None],
+            step=state.step[None],
         )
         return state, last
 

@@ -132,7 +132,11 @@ def run_cascade(
     def pvary(x):
         # declare loop-carry zeros device-varying over every mesh axis the
         # particle data varies over (they become varying after one round)
-        return jax.lax.pvary(x, axis_name) if axis_name else x
+        if not axis_name:
+            return x
+        if hasattr(jax.lax, "pcast"):
+            return jax.lax.pcast(x, axis_name, to="varying")
+        return jax.lax.pvary(x, axis_name)  # pre-0.9 fallback
 
     # ---- stale ray casts at the freshly injected slots ------------------------
     # (the allocator pop in inject IS the stale set — no N-wide compaction)
@@ -269,19 +273,16 @@ def run_cascade(
     )
 
     # stuck after k_max rounds: quarantine (reference indexes_del_extra,
-    # classes/Population.py:1553,1572); frozen-overflow lanes stay alive with
-    # their event pending for the next step
+    # classes/Population.py:1553,1572). Frozen-overflow and stale-raycast
+    # lanes stay ALIVE with their event pending for the next step — they are
+    # telemetered separately (`frozen`) so an evt_cap overflow storm is not
+    # misread as population loss.
     stuck = out.alive & (out.remaining > _REMAIN_EPS) & put2(
         jnp.zeros(EVT_CAP, bool), v2
     )
     buf_alive = out.alive & ~stuck
-    lost = (
-        out.lost
-        + stuck.sum(dtype=jnp.int32)
-        + frozen
-        + frozen2
-        + still_stale.sum(dtype=jnp.int32)
-    )
+    lost = out.lost + stuck.sum(dtype=jnp.int32)
+    frozen_total = frozen + frozen2 + still_stale.sum(dtype=jnp.int32)
 
     # ---- scatter buffer back (one coalesced row scatter) ------------------------
     rows_out = jnp.concatenate(
@@ -333,6 +334,7 @@ def run_cascade(
         res_energy_balance=state.res_energy_balance - ledger[:R, 0],
         res_heat_flux=state.res_heat_flux + ledger[:R, 1:4],
         lost=state.lost + psum(lost),
+        frozen=state.frozen + psum(frozen_total),
         key=state.key,
         step=state.step,
     )

@@ -141,6 +141,11 @@ def inject(
             frac1 = jnp.where(ep > 0, dice / ep, 0.0)
         counts = (fixed + extra).astype(jnp.int32).reshape(-1)  # (R*M,)
 
+        # per-(r,m) counts above c_max cannot be materialised by the bounded
+        # unrolled loop below — count them into the loss telemetry instead of
+        # silently under-injecting (a coarse mode table at high density can
+        # push enter_prob above c_max)
+        clipped = jnp.maximum(counts - params.c_max, 0).sum()
         base = jnp.zeros((), jnp.int32)
         u = jax.random.uniform(k_dtin, (params.c_max, R * M))
         for c in range(1, params.c_max + 1):
@@ -161,7 +166,7 @@ def inject(
             inj_valid = jnp.pad(inj_valid, (0, 1)).at[idx].set(write)[:cap]
             base = base + mask.sum(dtype=jnp.int32)
         n_valid = jnp.minimum(base, cap)
-        dropped_inj = jnp.maximum(base - cap, 0)
+        dropped_inj = jnp.maximum(base - cap, 0) + clipped
 
     elif params.res_gen == "pooled":
         # O(buffer)-cost generation for production-size mode tables: a SCALAR
@@ -307,6 +312,7 @@ def inject(
         res_energy_balance=state.res_energy_balance,
         res_heat_flux=state.res_heat_flux,
         lost=lost,
+        frozen=state.frozen,
         key=state.key,
         step=state.step,
     )

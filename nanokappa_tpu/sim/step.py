@@ -48,7 +48,8 @@ class StepOutputs:
     res_energy_balance: jax.Array  # (R,) raw ledger (eV)
     res_heat_flux: jax.Array  # (R,3) raw ledger
     n_leaving: jax.Array  # (R,)
-    lost: jax.Array  # ()
+    lost: jax.Array  # () dead/quarantined particles (cumulative)
+    frozen: jax.Array  # () frozen-but-alive postponed events (cumulative)
 
 
 def make_step(
@@ -170,6 +171,7 @@ def make_step(
             res_energy_balance=state.res_energy_balance,
             res_heat_flux=state.res_heat_flux,
             lost=state.lost,
+            frozen=state.frozen,
             key=state.key,
             step=state.step + 1,
         )
@@ -184,6 +186,7 @@ def make_step(
             res_heat_flux=new_state.res_heat_flux,
             n_leaving=new_state.n_leaving,
             lost=new_state.lost,
+            frozen=new_state.frozen,
         )
         return new_state, outputs
 
@@ -203,6 +206,7 @@ def _mk(state, dev, sv, T_sv_new, np_sv, E_sv, phi, energies, psum):
         res_energy_balance=new_state.res_energy_balance,
         res_heat_flux=new_state.res_heat_flux,
         n_leaving=new_state.n_leaving, lost=new_state.lost,
+        frozen=new_state.frozen,
     )
     return new_state, outputs
 

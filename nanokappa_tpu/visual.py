@@ -248,12 +248,18 @@ def plot_particles(folder: str, positions: np.ndarray, colors: np.ndarray,
     plt.close(fig)
 
 
-def spectral_kappa(sim, n_bands: int = 100):
-    """Spectral kappa contribution per frequency band along the transport axis
-    (flux_contribution, Visualisation.py:593-666): per-band heat flux divided
-    by the total applied gradient."""
-    import numpy as np
+def spectral_kappa(sim, n_bands: int = 100, T_mean: np.ndarray | None = None):
+    """Per-connection spectral kappa contribution (reference
+    flux_contribution, Visualisation.py:593-666), for ANY subvolume type.
 
+    For each connection c=(i,j): particles in subvolume i or j contribute
+        k_p = -(phi_p . dX_c) / dT_c * n_active_modes / N_c,
+    with phi_p = density-normalised hbar*omega*dn*v in W/m^2 and dX_c the
+    centre-to-centre vector in meters; contributions are histogrammed over
+    `n_bands` frequency bands. Returns (centers (B,), k (C,B), connections
+    (C,2)). The per-band rows of k sum to the connection's particle-estimated
+    total kappa. `T_mean` overrides the instantaneous subvolume temperatures
+    with rolling means (the reference uses its convergence-window means)."""
     s = sim.state
     alive = np.asarray(s.alive)
     modes = np.asarray(s.mode)[alive]
@@ -263,30 +269,36 @@ def spectral_kappa(sim, n_bands: int = 100):
     occ = sim.occupation_of(s)[alive]
     T_sv = np.asarray(s.T_sv, dtype=float)
     sv = np.asarray(s.sv_id)[alive]
+    from nanokappa_tpu.constants import A_IN_M, EVPSA2_IN_WM2
     from nanokappa_tpu.material.tables import bose_einstein
 
     dn = occ - bose_einstein(T_sv[sv], omega)
-    e = HBAR * omega * dn
+    # phi per particle, W/m^2 after density normalisation (reference
+    # normalise_to_density, classes/Phonon.py:392-401)
+    dens = 1.0 / (mat.n_qpoints * mat.volume_unitcell)
+    phi_p = (HBAR * omega * dn)[:, None] * vel * dens * EVPSA2_IN_WM2  # (N,3)
 
     dom = sim.domain
-    axis = dom.slice_axis
-    L = np.ptp(dom.bounds[:, axis])
-    res_T = sim.res_T_pad
-    dTdx = (res_T[-1] - res_T[0]) / (L * 1e-10)
+    cons = np.atleast_2d(np.asarray(dom.subvol_connections, dtype=int))
+    centers_sv = dom.subvol_center
+    Tm = T_sv if T_mean is None else np.asarray(T_mean, dtype=float)
 
     bands = np.linspace(0, mat.omega.max() * 1.000001, n_bands + 1)
-    idx = np.digitize(omega, bands) - 1
-    phi_band = np.zeros(n_bands)
-    np.add.at(phi_band, idx, e * vel[:, axis])
-    norm = mat.n_active_modes / max(alive.sum(), 1)
-    phi_band *= norm / (mat.n_qpoints * mat.volume_unitcell)
-    from nanokappa_tpu.constants import EVPSA2_IN_WM2
-
-    phi_band *= EVPSA2_IN_WM2
-    with np.errstate(divide="ignore", invalid="ignore"):
-        k_band = -phi_band / dTdx
     centers = (bands[:-1] + bands[1:]) / 2
-    return centers, k_band
+    idx = np.digitize(omega, bands) - 1
+    k = np.full((len(cons), n_bands), np.nan)
+    for c, (i, j) in enumerate(cons):
+        sel = (sv == i) | (sv == j)
+        n_c = int(sel.sum())
+        dT = Tm[j] - Tm[i]
+        if n_c == 0 or dT == 0:
+            continue
+        dX = (centers_sv[j] - centers_sv[i]) * A_IN_M
+        k_p = -(phi_p[sel] @ dX) / dT * (mat.n_active_modes / n_c)
+        band = np.zeros(n_bands)
+        np.add.at(band, idx[sel], k_p)
+        k[c] = band
+    return centers, k, cons
 
 
 def runtime_figures(sim):
@@ -374,13 +386,23 @@ def postprocess(sim, verbose: bool = False):
     if dom.subvol_type != "slice":
         plot_kappa_path(sim, folder)
 
-    # spectral kappa (slice only)
-    if dom.subvol_type == "slice" and dom.n_of_reservoirs >= 2:
-        centers, k_band = spectral_kappa(sim)
-        fig, ax = plt.subplots(figsize=(8, 5), dpi=120)
-        ax.bar(centers, k_band, width=centers[1] - centers[0])
-        ax.set_xlabel("$\\omega$ [rad THz]")
-        ax.set_ylabel("$\\kappa$ contribution [W/m·K]")
+    # spectral kappa per connection (reference k_contribution.png,
+    # Visualisation.py:593-666; histogram + cumulative panel per connection)
+    if len(np.atleast_2d(dom.subvol_connections)) and (
+        dom.n_of_reservoirs >= 2 or dom.subvol_type != "slice"
+    ):
+        centers, k_band, cons = spectral_kappa(sim)
+        fig, ax = plt.subplots(nrows=2, figsize=(9, 10), dpi=120, sharex="all")
+        for c, (i, j) in enumerate(cons):
+            if np.all(np.isnan(k_band[c])):
+                continue
+            ax[0].step(centers, k_band[c], where="mid", label=f"Con. {i}-{j}")
+            ax[1].plot(centers, np.nancumsum(k_band[c]), label=f"Con. {i}-{j}")
+        if len(cons) < 25:
+            ax[0].legend(fontsize="small")
+        ax[0].set_ylabel("$\\kappa(\\omega)$ in band [W/m·K]")
+        ax[1].set_ylabel("cumulated $\\kappa(\\omega)$ [W/m·K]")
+        ax[1].set_xlabel("$\\omega$ [rad THz]")
         fig.tight_layout()
         fig.savefig(os.path.join(folder, "k_contribution.png"))
         plt.close(fig)

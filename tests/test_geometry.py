@@ -136,6 +136,24 @@ def test_voronoi_and_grid_subvolumes():
     assert dom_v.subvol_volume.sum() == pytest.approx(dom_v.volume, rel=0.05)
 
 
+def test_qmc_subvol_volume_matches_mc():
+    """Sobol QMC volume sampling (reference qmc algorithm,
+    classes/Geometry.py:554-599) agrees with plain MC on a non-box solid."""
+    from nanokappa_tpu.geometry.domain import _mc_subvol_volume
+    from nanokappa_tpu.geometry.primitives import make_primitive
+
+    mesh = make_primitive("cylinder", (2e3, 500.0, 16))
+    centers = np.tile(mesh.center_mass, (4, 1))
+    centers[:, 2] = (np.arange(4) + 0.5) / 4 * np.ptp(mesh.bounds[:, 2])
+    rng = np.random.default_rng(5)
+    v_mc = _mc_subvol_volume(mesh, centers, rng, algorithm="mc")
+    v_qmc = _mc_subvol_volume(mesh, centers, np.random.default_rng(5), algorithm="qmc")
+    assert v_qmc.sum() == pytest.approx(mesh.volume, rel=0.02)
+    np.testing.assert_allclose(v_qmc, v_mc, rtol=0.05)
+    # equal slices of the cylinder
+    np.testing.assert_allclose(v_qmc, mesh.volume / 4, rtol=0.05)
+
+
 def test_grid_degenerates_to_slice():
     dom = build_domain(
         geometry="box",

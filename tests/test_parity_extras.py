@@ -107,3 +107,49 @@ def test_pooled_generation_matches_constant(small_material):
         assert abs(int(out.N_p) - 1e4) < 0.15 * 1e4
         assert int(out.lost) == 0
     assert np.abs(outs["constant"] - outs["pooled"]).max() < 0.4
+
+
+def test_injection_clipping_telemetry(small_material):
+    """Per-(reservoir,mode) generation counts above c_max land in the `lost`
+    ledger instead of silently under-injecting; with c_max sized to the
+    maximum entry rate (floor(max ep)+1, the driver's autosize) nothing is
+    clipped."""
+    import jax
+
+    from nanokappa_tpu.sim.reservoir import inject
+
+    mat = small_material
+    # very high particle density -> enter_prob well above 1 per mode
+    dom, geo, btab, rtab, params, state = film_setup(mat, n_particles=3e5)
+    max_ep = float(np.max(np.asarray(rtab.enter_prob)))
+    assert max_ep > 2.0, "config must drive per-mode rates above c_max=1"
+
+    key = jax.random.PRNGKey(7)
+    big_cap = 1 << 17
+
+    p1 = dataclasses.replace(params, c_max=1, inj_cap=big_cap)
+    s1, *_ = inject(state, geo, mat.device_tables(), rtab, p1, key, 0)
+    assert int(s1.lost) > 0  # clipped injections are telemetered
+
+    pauto = dataclasses.replace(params, c_max=int(max_ep) + 1, inj_cap=big_cap)
+    s2, *_ = inject(state, geo, mat.device_tables(), rtab, pauto, key, 0)
+    assert int(s2.lost) == 0
+    # the autosized run injected strictly more particles
+    assert int(np.asarray(s2.alive).sum()) > int(np.asarray(s1.alive).sum())
+
+
+def test_frozen_overflow_counter(small_material):
+    """An undersized event buffer freezes events instead of losing particles:
+    `frozen` ticks up, `lost` stays 0 and the population is intact
+    (the two conditions used to share one counter)."""
+    mat = small_material
+    dom, geo, btab, rtab, params, state = film_setup(mat, n_particles=1e4)
+    p = dataclasses.replace(params, evt_cap=8)
+    run = build_step(geo, mat.device_tables(), btab, rtab, p, n_inner=5)
+    s = state
+    for _ in range(4):
+        s, out = run(s)
+    assert int(out.frozen) > 0
+    assert int(out.lost) == 0
+    # frozen lanes stay alive: population conserved within injection noise
+    assert abs(int(out.N_p) - 1e4) < 0.2 * 1e4

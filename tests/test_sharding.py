@@ -107,3 +107,48 @@ def test_sharded_outputs_replicated(small_material, mesh):
     shards = [np.asarray(s.data) for s in out.T_sv.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+def test_sharded_escape_repair(small_material, mesh):
+    """Escape self-healing on 8 shards (reference contains_check,
+    classes/Population.py:1712-1722): out-of-bounds particles injected into a
+    sharded state are resampled inside the volume, the collision cache is
+    rebuilt, and the particle arrays stay sharded over "p"."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from nanokappa_tpu.sim.repair import make_contains_check
+
+    mat = small_material
+    dom, geo, btab, rtab, params, _ = film_setup(mat, n_particles=8000)
+    params8 = dataclasses.replace(params, n_cap=16000, n_shards=8)
+    state = init_state(mat, dom, geo, params8, 8000, temp_dist="linear", seed=9)
+
+    # push ~200 alive particles far outside the box, spread across the pool
+    # (every shard gets some)
+    pos = np.asarray(state.pos).copy()
+    alive = np.asarray(state.alive)
+    idx = np.nonzero(alive)[0][:: max(1, alive.sum() // 200)][:200]
+    pos[idx] = np.array([1e6, 1e6, 1e6])
+    state = dataclasses.replace(state, pos=jnp.asarray(pos))
+    state = shard_state(state, mesh)
+
+    pool = dom.mesh.sample_volume(1 << 10, np.random.default_rng(1))
+    check = make_contains_check(geo, jnp.asarray(pool, dtype=jnp.float32), params.dt)
+    healed, n_esc = check(state, jax.random.PRNGKey(0))
+
+    assert int(n_esc) == len(idx)
+    hp = np.asarray(healed.pos)[np.asarray(healed.alive)]
+    lo, hi = dom.mesh.bounds
+    assert np.all(hp >= lo - 1.0) and np.all(hp <= hi + 1.0)
+    # collision cache rebuilt for the healed slots
+    assert np.all(np.asarray(healed.coll_facet)[idx] >= 0)
+    # the repaired state keeps its particle-axis sharding
+    assert not healed.pos.sharding.is_fully_replicated
+    # and the sharded step still runs on the repaired state
+    run8 = build_sharded_step(
+        geo, mat.device_tables(), btab, rtab, params8, mesh, n_inner=2
+    )
+    healed, out = run8(healed)
+    assert int(out.N_p) > 0

@@ -74,3 +74,44 @@ def test_voronoi_film_run(small_material):
     assert np.isfinite(k_con).all()
     assert np.median(k_con[np.abs(k_con) > 0]) > 0
     assert int(out.lost) < 0.01 * n_p
+
+    # spectral kappa per connection (reference flux_contribution,
+    # Visualisation.py:593-666) on a non-slice domain: the frequency bands of
+    # each connection must sum to that connection's particle-estimated total
+    from types import SimpleNamespace
+
+    from nanokappa_tpu.constants import A_IN_M, EVPSA2_IN_WM2, HBAR
+    from nanokappa_tpu.material.tables import bose_einstein
+    from nanokappa_tpu.visual import spectral_kappa
+
+    sim = SimpleNamespace(
+        state=state,
+        material=mat,
+        domain=dom,
+        occupation_of=lambda s: np.asarray(s.dev, dtype=float)
+        + bose_einstein(
+            params.t_reference, mat.omega.reshape(-1)[np.asarray(s.mode)]
+        ),
+    )
+    centers, k_band, cons = spectral_kappa(sim, n_bands=40)
+    assert k_band.shape == (len(dom.subvol_connections), 40)
+    # recompute each connection total directly from particle data
+    alive = np.asarray(state.alive)
+    modes = np.asarray(state.mode)[alive]
+    omega = mat.omega.reshape(-1)[modes]
+    vel = mat.group_vel.reshape(-1, 3)[modes]
+    sv = np.asarray(state.sv_id)[alive]
+    dn = sim.occupation_of(state)[alive] - bose_einstein(T[sv], omega)
+    dens = 1.0 / (mat.n_qpoints * mat.volume_unitcell)
+    phi_p = (HBAR * omega * dn)[:, None] * vel * dens * EVPSA2_IN_WM2
+    checked = 0
+    for c, (i, j) in enumerate(cons):
+        sel = (sv == i) | (sv == j)
+        dT = T[j] - T[i]
+        if not sel.any() or dT == 0:
+            continue
+        dX = (dom.subvol_center[j] - dom.subvol_center[i]) * A_IN_M
+        total = -(phi_p[sel] @ dX).sum() / dT * mat.n_active_modes / sel.sum()
+        np.testing.assert_allclose(np.nansum(k_band[c]), total, rtol=1e-5)
+        checked += 1
+    assert checked > 0
