@@ -17,13 +17,10 @@ import time
 BASELINE_UPDATES_PER_S = 1.7e5
 
 
-def main():
+def run_config(n_particles: float, mesh_pts: int, res_gen: str):
+    """One benchmark run; returns (updates_per_s, n_modes)."""
     import numpy as np
     import jax
-
-    from nanokappa_tpu.utils import enable_compilation_cache
-
-    enable_compilation_cache()
 
     from nanokappa_tpu.material import synthetic_material
     from nanokappa_tpu.geometry.domain import build_domain
@@ -32,9 +29,6 @@ def main():
     from nanokappa_tpu.sim.boundary_tables import build_boundary_tables
     from nanokappa_tpu.sim.reservoir import build_reservoir_tables
     from nanokappa_tpu.sim.step import build_step
-
-    n_particles = float(sys.argv[1]) if len(sys.argv) > 1 else 1e6
-    mesh_pts = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 
     mat = synthetic_material(mesh=(mesh_pts, mesh_pts, mesh_pts))
     dom = build_domain(
@@ -56,6 +50,7 @@ def main():
         inj_cap=1 << 13,
         evt_cap=1 << 16,  # events ~5.7%/step at this geometry; ablation-tuned
         temp_interp="nearest",  # the reference's default interpolation
+        res_gen=res_gen,
         particle_density=rho,
         n_active_modes=mat.n_active_modes,
         t_reference=300.0,
@@ -79,17 +74,49 @@ def main():
     elapsed = time.perf_counter() - t0
 
     n_alive = int(np.asarray(out.N_p))
-    updates_per_s = n_outer * 20 * n_alive / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "phonon-timestep updates/sec/chip (1e6 particles, Si-film-analog)",
-                "value": updates_per_s,
-                "unit": "updates/s",
-                "vs_baseline": updates_per_s / BASELINE_UPDATES_PER_S,
-            }
-        )
-    )
+    return n_outer * 20 * n_alive / elapsed, mat.n_modes
+
+
+def main():
+    from nanokappa_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    n_particles = float(sys.argv[1]) if len(sys.argv) > 1 else 1e6
+    mesh_pts = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+
+    if mesh_pts:  # explicit single config
+        ups, n_modes = run_config(n_particles, mesh_pts, "constant")
+        print(json.dumps({
+            "metric": f"phonon-timestep updates/sec/chip ({n_particles:.0e} "
+                      f"particles, {n_modes} modes)",
+            "value": ups,
+            "unit": "updates/s",
+            "vs_baseline": ups / BASELINE_UPDATES_PER_S,
+        }))
+        return
+
+    # small-table config first (round-1 continuity line) ...
+    ups8, _ = run_config(n_particles, 8, "constant")
+    print(json.dumps({
+        "metric": "phonon-timestep updates/sec/chip (1e6 particles, "
+                  "Si-film-analog, 8^3 table)",
+        "value": ups8,
+        "unit": "updates/s",
+        "vs_baseline": ups8 / BASELINE_UPDATES_PER_S,
+    }), flush=True)
+    # ... then the PRODUCTION config as the headline (last line = the one the
+    # driver records): the reference Si sample's full 31^3 mesh = 178,746
+    # modes (classes/Phonon.py:115-139), with the O(buffer) 'pooled'
+    # reservoir generation scheme sized for production mode tables.
+    ups31, n_modes = run_config(n_particles, 31, "pooled")
+    print(json.dumps({
+        "metric": f"phonon-timestep updates/sec/chip (1e6 particles, "
+                  f"production 31^3 table = {n_modes} modes, pooled gen)",
+        "value": ups31,
+        "unit": "updates/s",
+        "vs_baseline": ups31 / BASELINE_UPDATES_PER_S,
+    }))
 
 
 if __name__ == "__main__":

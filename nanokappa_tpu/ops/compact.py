@@ -85,14 +85,23 @@ def compact_indices_pallas(mask: jax.Array, cap: int, interpret: bool = False):
         interpret=interpret,
     )(m3)
 
-    # assembly: map output lane j -> source row via the running count table
+    # assembly: map output lane j -> source row via the running count table.
+    # searchsorted over the (nb*_ROWS,) table costs log2(rows) ~ 14 serial
+    # cap-wide gathers (~6.5 ms at N=1.25e6 measured); the same function as a
+    # histogram + cumsum is one SMALL scatter-add (rows elements) + one
+    # cap-wide cumsum:  #[csum <= j]  ==  searchsorted(csum, j+1, 'left').
     counts = m3.sum(axis=2).reshape(-1)  # (nb*_ROWS,) per-row True counts
     csum = jnp.cumsum(counts)
     n_valid = jnp.minimum(csum[-1], cap)
     j = jnp.arange(cap, dtype=jnp.int32)
-    rowid = jnp.searchsorted(csum, j + 1, side="left").astype(jnp.int32)
+    hist = jnp.zeros(cap + 1, jnp.int32).at[jnp.minimum(csum, cap)].add(1)
+    rowid = jnp.cumsum(hist)[:cap]
     rowid = jnp.minimum(rowid, counts.shape[0] - 1)
-    start = csum[rowid] - counts[rowid]
+    # csum/counts row lookups as ONE 2-wide row gather (scalar gathers run at
+    # ~7.6 ns/elem on TPU; contiguous row gathers amortise ~20x)
+    cc = jnp.stack([csum, counts], axis=1)  # (rows, 2)
+    cc_rows = jnp.take(cc, rowid, axis=0)  # (cap, 2)
+    start = cc_rows[:, 0] - cc_rows[:, 1]
     within = jnp.clip(j - start, 0, _LANES - 1)
     pidx = idx.reshape(-1, _LANES)[rowid, within]
     pidx = jnp.where(j < n_valid, pidx, n)

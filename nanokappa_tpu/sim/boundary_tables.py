@@ -44,10 +44,22 @@ class BoundaryTables:
     diffuse_cdf: jax.Array  # (NU, M) f32 normalised cumulative creation rate
     diffuse_prob: jax.Array  # (NU, M) f32 Walker alias acceptance probability
     diffuse_alias: jax.Array  # (NU, M) i32 Walker alias partner mode
+    # combined 2-wide rows for the event cascade (one row gather instead of
+    # two scalar gathers; int columns carried bitcast as f32)
+    spec_corr: jax.Array  # (NU, M, 2) f32 [specularity, bitcast(corr)]
+    diff_pa: jax.Array  # (NU, M, 2) f32 [alias prob, bitcast(alias idx)]
     row_of_rough: jax.Array  # (NR,) i32 rough facet -> table row
     degen_partner: jax.Array  # (M,) i32 partner branch mode or -1 ('k' model)
     n_rough: int = field(metadata=dict(static=True))
     n_rows: int = field(metadata=dict(static=True))
+
+
+def _combine_f32_i32(f: np.ndarray, i: np.ndarray) -> np.ndarray:
+    """Stack a float and an int table into (..., 2) f32 rows, the int column
+    bitcast so one row gather serves both lookups."""
+    return np.stack(
+        [f.astype(np.float32), i.astype(np.int32).view(np.float32)], axis=-1
+    )
 
 
 def _mode_tables(mat: Material):
@@ -264,6 +276,12 @@ def build_boundary_tables(
             diffuse_cdf=jnp.ones((1, M), dtype=dtype),
             diffuse_prob=jnp.ones((1, M), dtype=dtype),
             diffuse_alias=jnp.zeros((1, M), dtype=jnp.int32),
+            spec_corr=jnp.asarray(
+                _combine_f32_i32(np.zeros((1, M)), np.full((1, M), -1, np.int32))
+            ),
+            diff_pa=jnp.asarray(
+                _combine_f32_i32(np.ones((1, M)), np.zeros((1, M), np.int32))
+            ),
             row_of_rough=jnp.zeros(0, dtype=jnp.int32),
             degen_partner=jnp.asarray(_degen_partner(mat), dtype=jnp.int32),
             n_rough=0,
@@ -321,6 +339,8 @@ def build_boundary_tables(
         diffuse_cdf=jnp.asarray(cdf, dtype=dtype),
         diffuse_prob=jnp.asarray(aprob, dtype=dtype),
         diffuse_alias=jnp.asarray(aidx, dtype=jnp.int32),
+        spec_corr=jnp.asarray(_combine_f32_i32(spec, corr.astype(np.int32))),
+        diff_pa=jnp.asarray(_combine_f32_i32(aprob, aidx.astype(np.int32))),
         row_of_rough=jnp.asarray(row_of_rough, dtype=jnp.int32),
         degen_partner=jnp.asarray(_degen_partner(mat), dtype=jnp.int32),
         n_rough=NR,

@@ -72,7 +72,8 @@ def _compact(mask: jax.Array, cap: int):
     n = mask.shape[0]
     csum = jnp.cumsum(mask.astype(jnp.int32))
     n_valid = jnp.minimum(csum[-1], cap)
-    if _COMPACT_IMPL == "searchsorted":
+    if _COMPACT_IMPL != "scatter":  # searchsorted (also the non-TPU fallback
+        # for "pallas": no scatters anywhere)
         j = jnp.arange(cap, dtype=jnp.int32)
         pidx = jnp.searchsorted(csum, j + 1, side="left").astype(jnp.int32)
         pidx = jnp.where(j < n_valid, pidx, n)
@@ -87,8 +88,11 @@ def _compact(mask: jax.Array, cap: int):
     return pidx, n_valid
 
 
-_COMPACT_IMPL = "scatter"  # "pallas" (TPU kernel) | "scatter" | "searchsorted" —
-#   back-to-back benches: scatter 122.9x, pallas 118.8x, searchsorted 86x
+_COMPACT_IMPL = "pallas"  # "pallas" (TPU kernel) | "scatter" | "searchsorted".
+#   A profile trace showed the scatter formulation's s32[cap] scatter costs
+#   7.3 ms/step at N=1.25e6 inside the fused program (XLA lowers it to a
+#   serial scatter); the Pallas kernel runs the same compaction in ~25 us.
+#   Non-TPU backends fall through to "searchsorted" (0.03 ms, no scatter).
 
 
 class _Buf(NamedTuple):
@@ -111,8 +115,6 @@ class _Buf(NamedTuple):
 
 def run_cascade(
     state: SimState,
-    remaining: jax.Array,
-    on_facet: jax.Array,
     stale_idx: jax.Array,  # (inj_cap,) slot ids needing a ray cast (from the
     #   allocator pop in inject); sentinel N for unused lanes
     geo: DeviceGeometry,
@@ -123,11 +125,19 @@ def run_cascade(
     psum=lambda x: x,
     axis_name: str | tuple | None = None,
 ) -> SimState:
+    from nanokappa_tpu.sim.state import (
+        C_CF, C_DEV, C_MODE, C_OMEGA, C_ONF, C_POS, C_REM, C_TAU, C_TCOLL,
+        C_VEL,
+    )
+
     dt = params.dt
-    N = state.pos.shape[0]
+    N = state.packed.shape[0]
     R = geo.n_reservoirs
     R8 = _pad8(R + 1)
     EVT_CAP = _pad8(params.evt_cap or max(params.inj_cap, N // 16))
+    f32 = jnp.float32
+    bc32 = lambda a: jax.lax.bitcast_convert_type(a, f32)  # noqa: E731
+    i32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
 
     def pvary(x):
         # declare loop-carry zeros device-varying over every mesh axis the
@@ -139,19 +149,33 @@ def run_cascade(
         return jax.lax.pvary(x, axis_name)  # pre-0.9 fallback
 
     # ---- stale ray casts at the freshly injected slots ------------------------
-    # (the allocator pop in inject IS the stale set — no N-wide compaction)
+    # (the allocator pop in inject IS the stale set — no N-wide compaction;
+    # one row gather serves position, velocity and excluded facet)
     sidx = stale_idx
+    rows_s = jnp.take(state.packed, sidx, axis=0)  # (inj_cap, N_COLS)
     t_b, f_b = raycast(
-        geo, state.pos[sidx], state.vel[sidx], on_facet[sidx]
+        geo, rows_s[:, C_POS], rows_s[:, C_VEL], i32(rows_s[:, C_ONF])
     )
-    t_coll = state.t_coll.at[sidx].set(
-        (t_b / dt).astype(state.t_coll.dtype), mode="drop"
+    t_coll = state.packed[:, C_TCOLL].at[sidx].set(
+        (t_b / dt).astype(f32), mode="drop", unique_indices=True
     )
-    coll_facet = state.coll_facet.at[sidx].set(f_b, mode="drop")
+    coll_facet = state.coll_facet.at[sidx].set(
+        f_b, mode="drop", unique_indices=True
+    )
     # defensive: any remaining STALE alive entry (e.g. an externally edited
     # state) freezes for this step instead of drifting blindly
+    was_stale = state.coll_facet == STALE
     still_stale = state.alive & (coll_facet == STALE)
     t_coll = jnp.where(still_stale, jnp.inf, t_coll)
+
+    # remaining dt fraction: freshly injected slots carry their partial
+    # dt_in/dt in C_REM (they are exactly the slots that were STALE before
+    # the ray cast above); everyone else alive gets a full step
+    remaining = jnp.where(
+        was_stale & state.alive,
+        state.packed[:, C_REM],
+        jnp.where(state.alive, 1.0, 0.0),
+    ).astype(f32)
 
     # ---- phase A: one fused full-width drift ---------------------------------
     step_frac = jnp.where(
@@ -164,44 +188,43 @@ def run_cascade(
     rem_after = jnp.where(state.alive, remaining - step_frac, 0.0)
     event = state.alive & (rem_after > _REMAIN_EPS) & (coll_facet >= 0)
 
+    # one fused elementwise pass rebuilds the packed matrix with the drifted
+    # columns (pos, coll_facet, t_coll, rem_after)
+    packed = jnp.concatenate(
+        [
+            pos,  # C_POS
+            state.packed[:, C_VEL],
+            state.packed[:, C_OMEGA:C_MODE + 1],  # omega, tau, dev, mode
+            bc32(coll_facet)[:, None],
+            t_coll[:, None],
+            state.packed[:, C_ONF][:, None],
+            rem_after[:, None],
+        ],
+        axis=1,
+    )
+
     # ---- phase B: compacted event loop ----------------------------------------
     pidx, n_evt = _compact(event, EVT_CAP)
     n_evt_all = event.sum(dtype=jnp.int32)
     frozen = n_evt_all - n_evt  # events beyond capacity: path frozen this step
     vbuf = jnp.arange(EVT_CAP) < n_evt
 
-    # pack the per-particle fields into one (N, 12) matrix so the buffer fill
-    # is a single coalesced row gather instead of 12 scalar gathers
-    f32 = jnp.float32
-    bc32 = lambda a: jax.lax.bitcast_convert_type(a, f32)  # noqa: E731
-    packed = jnp.concatenate(
-        [
-            pos,  # 0:3
-            state.vel,  # 3:6
-            state.omega[:, None],  # 6
-            state.tau[:, None],  # 7
-            state.dev[:, None],  # 8
-            bc32(state.mode)[:, None],  # 9
-            bc32(coll_facet)[:, None],  # 10
-            bc32(on_facet)[:, None],  # 11
-        ],
-        axis=1,
-    )
-    rows = packed[pidx]  # (EVT,12) row gather
-    i32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
+    # buffer fill: ONE row gather serves every per-particle field
+    # (pidx from _compact is ascending with a sentinel-N tail)
+    rows = jnp.take(packed, pidx, axis=0, indices_are_sorted=True)
 
     buf = _Buf(
-        pos=rows[:, 0:3],
-        mode=i32(rows[:, 9]),
-        vel=rows[:, 3:6],
-        omega=rows[:, 6],
-        tau=rows[:, 7],
-        dev=rows[:, 8],
+        pos=rows[:, C_POS],
+        mode=i32(rows[:, C_MODE]),
+        vel=rows[:, C_VEL],
+        omega=rows[:, C_OMEGA],
+        tau=rows[:, C_TAU],
+        dev=rows[:, C_DEV],
         alive=vbuf,
         t_coll=pvary(jnp.zeros(EVT_CAP, dtype=jnp.float32)),
-        coll_facet=jnp.where(vbuf, i32(rows[:, 10]), -1),
-        on_facet=i32(rows[:, 11]),
-        remaining=jnp.where(vbuf, rem_after[pidx], 0.0),
+        coll_facet=jnp.where(vbuf, i32(rows[:, C_CF]), -1),
+        on_facet=i32(rows[:, C_ONF]),
+        remaining=jnp.where(vbuf, rows[:, C_REM], 0.0),
         ledger=pvary(jnp.zeros((R8, 5), dtype=jnp.float32)),
         lost=pvary(jnp.zeros((), jnp.int32)),
         key=key,
@@ -225,20 +248,23 @@ def run_cascade(
     lane2 = jnp.arange(EVT2, dtype=jnp.int32)
     v2 = lane2 < n2
 
+    def gat2(x):
+        return jnp.take(x, sidx2, axis=0, indices_are_sorted=True)
+
     def take2(x, fill):
-        return jnp.where(v2 if x.ndim == 1 else v2[:, None], x[sidx2], fill)
+        return jnp.where(v2 if x.ndim == 1 else v2[:, None], gat2(x), fill)
 
     buf2 = _Buf(
-        pos=buf1.pos[sidx2],
-        mode=buf1.mode[sidx2],
-        vel=buf1.vel[sidx2],
-        omega=buf1.omega[sidx2],
-        tau=buf1.tau[sidx2],
-        dev=buf1.dev[sidx2],
+        pos=gat2(buf1.pos),
+        mode=gat2(buf1.mode),
+        vel=gat2(buf1.vel),
+        omega=gat2(buf1.omega),
+        tau=gat2(buf1.tau),
+        dev=gat2(buf1.dev),
         alive=v2,
         t_coll=take2(buf1.t_coll, 0.0),
         coll_facet=take2(buf1.coll_facet, -1),
-        on_facet=buf1.on_facet[sidx2],
+        on_facet=gat2(buf1.on_facet),
         remaining=take2(buf1.remaining, 0.0),
         ledger=buf1.ledger,
         lost=buf1.lost,
@@ -253,9 +279,12 @@ def run_cascade(
 
     out2 = jax.lax.while_loop(cond, body, buf2)
 
-    # merge the narrow buffer back into the round-1 buffer
+    # merge the narrow buffer back into the round-1 buffer (sidx2 ascending
+    # and unique; sentinel lanes are out of bounds -> dropped)
     def put2(full, bufval):
-        return full.at[sidx2].set(bufval, mode="drop")
+        return full.at[sidx2].set(
+            bufval, mode="drop", indices_are_sorted=True, unique_indices=True
+        )
 
     out = buf1._replace(
         pos=put2(buf1.pos, out2.pos),
@@ -287,22 +316,26 @@ def run_cascade(
     # ---- scatter buffer back (one coalesced row scatter) ------------------------
     rows_out = jnp.concatenate(
         [
-            out.pos,
-            out.vel,
+            out.pos,  # C_POS
+            out.vel,  # C_VEL
             out.omega[:, None],
             out.tau[:, None],
             out.dev[:, None],
             bc32(out.mode)[:, None],
             bc32(out.coll_facet)[:, None],
             out.t_coll[:, None],
+            bc32(out.on_facet)[:, None],
+            out.remaining[:, None],  # leftover (~0 for finished events)
         ],
         axis=1,
-    )  # (EVT,12)
-    merged = packed.at[pidx].set(rows_out, mode="drop")
-    t_coll_full = (
-        t_coll.at[pidx].set(out.t_coll, mode="drop")
+    )  # (EVT, N_COLS)
+    # pidx ascending + unique (sentinel N lanes drop out of bounds)
+    merged = packed.at[pidx].set(
+        rows_out, mode="drop", indices_are_sorted=True, unique_indices=True
     )
-    alive_full = state.alive.at[pidx].set(buf_alive, mode="drop")
+    alive_full = state.alive.at[pidx].set(
+        buf_alive, mode="drop", indices_are_sorted=True, unique_indices=True
+    )
 
     # push freed slots (absorbed / defective / stuck lanes) onto the free list
     freed = vbuf & ~buf_alive
@@ -310,20 +343,15 @@ def run_cascade(
     n_freed = freed.sum(dtype=jnp.int32)
     fc0 = state.free_count[0]
     fidx = jnp.where(freed, fc0 + frank, N)
-    free_list = state.free_list.at[fidx].set(pidx, mode="drop")
+    free_list = state.free_list.at[fidx].set(
+        pidx, mode="drop", unique_indices=True
+    )
     free_count = state.free_count.at[0].add(n_freed)
 
     ledger = psum(out.ledger)
     new_state = SimState(
-        pos=merged[:, 0:3],
-        mode=i32(merged[:, 9]),
-        vel=merged[:, 3:6],
-        omega=merged[:, 6],
-        tau=merged[:, 7],
-        dev=merged[:, 8],
+        packed=merged,
         alive=alive_full,
-        t_coll=t_coll_full,
-        coll_facet=i32(merged[:, 10]),
         sv_id=state.sv_id,
         T_sv=state.T_sv,
         Np_sv=state.Np_sv,
@@ -381,7 +409,9 @@ def _event_round(
         ],
         axis=1,
     )
-    ledger = b.ledger + jax.ops.segment_sum(vals, seg, num_segments=R8)
+    from nanokappa_tpu.sim.binning import segment_matmul
+
+    ledger = b.ledger + segment_matmul(vals, seg, R8)
     alive = b.alive & ~absorb
     remaining = jnp.where(absorb, 0.0, b.remaining)
 
@@ -396,8 +426,10 @@ def _event_round(
     row = (
         btab.row_of_rough[i_rough] if btab.n_rough > 0 else jnp.zeros_like(i_rough)
     )
-    p_spec = btab.specularity[row, b.mode]
-    corr_m = btab.corr[row, b.mode]
+    i32b = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
+    sc = btab.spec_corr[row, b.mode]  # (E,2): one row gather, two lookups
+    p_spec = sc[:, 0]
+    corr_m = i32b(sc[:, 1])
     u_spec = jax.random.uniform(k_spec, p_spec.shape)
     spec = ref & (u_spec <= p_spec) & (corr_m >= 0)
     diff = ref & ~spec
@@ -409,17 +441,19 @@ def _event_round(
         swap = spec & (partner >= 0) & (u_deg >= 0.5)
         mode_spec = jnp.where(swap, partner, mode_spec)
 
-    # diffuse re-emission by Walker alias sampling
+    # diffuse re-emission by Walker alias sampling (prob+alias in one row)
     M = btab.diffuse_prob.shape[1]
     j = jax.random.randint(k_diff1, p_spec.shape, 0, M)
     u = jax.random.uniform(k_diff2, p_spec.shape)
-    accept = u < btab.diffuse_prob[row, j]
-    mode_diff = jnp.where(accept, j, btab.diffuse_alias[row, j])
+    pa = btab.diff_pa[row, j]  # (E,2)
+    accept = u < pa[:, 0]
+    mode_diff = jnp.where(accept, j, i32b(pa[:, 1]))
 
     changed = spec | diff
     mode = jnp.where(spec, mode_spec, jnp.where(diff, mode_diff, b.mode))
-    omega_new = jnp.where(changed, mat.omega[mode], b.omega)
-    vel_new = jnp.where(changed[:, None], mat.velocity[mode], b.vel)
+    ov = mat.omega_vel[mode]  # (E,4): omega + velocity in one row gather
+    omega_new = jnp.where(changed, ov[:, 0], b.omega)
+    vel_new = jnp.where(changed[:, None], ov[:, 1:4], b.vel)
 
     sv_here = subvol_id(geo, pos)
     T_wall = interp_T_particles(geo, T_sv, pos, sv_here, params.temp_interp)

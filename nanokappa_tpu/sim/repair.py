@@ -46,7 +46,9 @@ def make_contains_check(geo: DeviceGeometry, interior_pool: jax.Array, dt: float
         )
         t_coll = jnp.where(out, t / dt, state.t_coll)
         coll_facet = jnp.where(out, f, state.coll_facet)
-        new_state = dataclasses.replace(
+        from nanokappa_tpu.sim.state import with_cols
+
+        new_state = with_cols(
             state, pos=pos, t_coll=t_coll, coll_facet=coll_facet
         )
         return new_state, out.sum(dtype=jnp.int32)

@@ -98,8 +98,9 @@ def inject(
 ):
     """Generate reservoir particles and write them into dead pool slots.
 
-    Returns (new_state, remaining_frac_update, on_facet): injected slots carry
-    a remaining time fraction dt_in/dt for the cascade; everyone else gets 1.
+    Returns (new_state, stale_idx): injected slots are marked STALE (C_CF)
+    with their partial time fraction dt_in/dt in C_REM; stale_idx lists the
+    written slots (sentinel N on unused lanes) for the cascade's ray cast.
     Under particle-axis sharding each shard runs the process at
     enter_prob/n_shards with its own accumulator (state.res_counter[0]).
     """
@@ -107,8 +108,6 @@ def inject(
     if R == 0:
         return (
             state,
-            jnp.where(state.alive, 1.0, 0.0).astype(jnp.float32),
-            jnp.full(state.alive.shape, -1, dtype=jnp.int32),
             jnp.full(params.inj_cap, state.alive.shape[0], dtype=jnp.int32),
         )
 
@@ -255,14 +254,19 @@ def inject(
     from nanokappa_tpu.sim.scatter import lifetime_lookup
 
     T_res = geo.res_temperature[inj_res]
-    inj_omega = mat.omega[inj_mode]
-    inj_vel = mat.velocity[inj_mode]
+    ov = mat.omega_vel[inj_mode]  # (cap,4): omega + velocity, one row gather
+    inj_omega = ov[:, 0]
+    inj_vel = ov[:, 1:4]
     inj_tau = lifetime_lookup(mat, T_res, inj_mode)
     inj_dev = occupation_delta_T(T_res, params.t_reference, inj_omega)
     inj_facet = geo.res_facet[inj_res]
 
     # --- write into dead slots ---------------------------------------------------
-    # pop slots from the persistent free list: everything at buffer width
+    # pop slots from the persistent free list: everything at buffer width.
+    # The whole injected particle is ONE packed row, so the write is a single
+    # row scatter (didx_w slots are distinct; sentinel N lanes drop).
+    from nanokappa_tpu.sim.state import _bc_f32
+
     N = state.alive.shape[0]
     n_free = state.free_count[0]
     n_used = jnp.minimum(n_valid, n_free)
@@ -272,36 +276,31 @@ def inject(
     didx_w = jnp.where(write, didx, N)  # sentinel -> dropped on scatter
     free_count = state.free_count.at[0].add(-n_used)
 
-    pos = state.pos.at[didx_w].set(inj_pos, mode="drop")
-    mode = state.mode.at[didx_w].set(inj_mode, mode="drop")
-    vel = state.vel.at[didx_w].set(inj_vel, mode="drop")
-    omega = state.omega.at[didx_w].set(inj_omega, mode="drop")
-    tau = state.tau.at[didx_w].set(inj_tau, mode="drop")
-    dev = state.dev.at[didx_w].set(inj_dev, mode="drop")
-    alive = state.alive.at[didx_w].set(True, mode="drop")
-    coll_facet = state.coll_facet.at[didx_w].set(STALE, mode="drop")
-    on_facet = (
-        jnp.full(N, -1, dtype=jnp.int32).at[didx_w].set(inj_facet, mode="drop")
+    inj_rows = jnp.concatenate(
+        [
+            inj_pos,  # C_POS
+            inj_vel,  # C_VEL
+            inj_omega[:, None],
+            inj_tau[:, None],
+            inj_dev[:, None],
+            _bc_f32(inj_mode)[:, None],
+            _bc_f32(jnp.full(cap, STALE, jnp.int32))[:, None],  # C_CF
+            jnp.full((cap, 1), jnp.inf, jnp.float32),  # C_TCOLL
+            _bc_f32(inj_facet)[:, None],  # C_ONF
+            (inj_dtin / dt).astype(jnp.float32)[:, None],  # C_REM
+        ],
+        axis=1,
     )
-    remaining = (
-        jnp.where(state.alive, 1.0, 0.0)
-        .astype(jnp.float32)
-        .at[didx_w]
-        .set((inj_dtin / dt).astype(jnp.float32), mode="drop")
+    packed = state.packed.at[didx_w].set(
+        inj_rows, mode="drop", unique_indices=True
     )
+    alive = state.alive.at[didx_w].set(True, mode="drop", unique_indices=True)
 
     lost = state.lost + psum(dropped_inj + jnp.maximum(n_valid - n_used, 0))
 
     new_state = SimState(
-        pos=pos,
-        mode=mode,
-        vel=vel,
-        omega=omega,
-        tau=tau,
-        dev=dev,
+        packed=packed,
         alive=alive,
-        t_coll=state.t_coll.at[didx_w].set(jnp.inf, mode="drop"),
-        coll_facet=coll_facet,
         sv_id=state.sv_id,
         T_sv=state.T_sv,
         Np_sv=state.Np_sv,
@@ -316,4 +315,4 @@ def inject(
         key=state.key,
         step=state.step,
     )
-    return new_state, remaining, on_facet, didx_w
+    return new_state, didx_w

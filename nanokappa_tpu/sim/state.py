@@ -51,25 +51,45 @@ class SimParams:
     #   rate/n_shards with its own accumulator
 
 
+# columns of the packed per-particle state matrix. Keeping every per-particle
+# field in ONE (N, 14) f32 row (ints bitcast) makes the event-buffer traffic
+# row-shaped: the cascade's buffer fill is one row gather and the merge-back
+# one row scatter, and injection writes one row per new particle — TPU row
+# gathers/scatters amortise ~20x over per-field scalar ones (measured).
+C_POS = slice(0, 3)  # position, angstrom
+C_VEL = slice(3, 6)  # cached group velocity of `mode`, A/ps
+C_OMEGA = 6  # cached angular frequency, rad THz
+C_TAU = 7  # cached lifetime tau(T_local, mode), ps
+C_DEV = 8  # occupation deviation n - n0(T_ref)
+C_MODE = 9  # flattened mode index (i32 bitcast)
+C_CF = 10  # next-hit facet / STALE / NOHIT (i32 bitcast)
+C_TCOLL = 11  # time to next boundary hit, in dt units
+C_ONF = 12  # facet the particle sits on, excluded from its next ray cast
+#   (i32 bitcast; -1 = none). Set by injection / reflection / periodic.
+C_REM = 13  # remaining fraction of the current dt (injection writes the
+#   partial dt_in/dt; the cascade derives everyone else's from `alive`,
+#   keyed on C_CF == STALE)
+N_COLS = 14
+
+
+def _bc_f32(a: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(a, jnp.float32)
+
+
+def _bc_i32(a: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(a, jnp.int32)
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class SimState:
-    # particle pool (N = capacity)
-    pos: jax.Array  # (N,3) f32, angstrom
-    mode: jax.Array  # (N,) i32 flattened mode index
-    vel: jax.Array  # (N,3) f32 cached group velocity of `mode` (A/ps) —
-    #   random-index gathers from the (M,) tables are the most expensive
-    #   primitive on TPU, so per-mode properties are cached per particle and
-    #   refreshed only when the mode changes (reflection / injection)
-    omega: jax.Array  # (N,) f32 cached angular frequency of `mode`
-    tau: jax.Array  # (N,) f32 cached lifetime tau(T_local, mode), ps; the
-    #   random-index (nT*M) gather is the single most expensive op in the RTA
-    #   phase, so tau refreshes only on mode change (event/injection buffers)
-    #   and once per outer scan (T drifts ~0.01 K/step -> negligible error)
-    dev: jax.Array  # (N,) f32 occupation deviation n - n0(T_ref)
+    # particle pool (N = capacity): one packed row per particle; see the
+    # C_* column map above. Per-mode properties (vel/omega/tau) are cached
+    # per particle and refreshed only when the mode changes
+    # (reflection / injection) — random-index gathers from the (M,) tables
+    # are the most expensive primitive on TPU.
+    packed: jax.Array  # (N, N_COLS) f32
     alive: jax.Array  # (N,) bool
-    t_coll: jax.Array  # (N,) f32 time to next boundary hit, in dt units
-    coll_facet: jax.Array  # (N,) i32 facet of next hit / STALE / NOHIT
 
     # fields refreshed every step
     sv_id: jax.Array  # (N,) i32
@@ -97,6 +117,72 @@ class SimState:
 
     key: jax.Array  # PRNG key
     step: jax.Array  # () i32
+
+    # ---- column views (read-only; update via with_cols) ---------------------
+    @property
+    def pos(self) -> jax.Array:
+        return self.packed[:, C_POS]
+
+    @property
+    def vel(self) -> jax.Array:
+        return self.packed[:, C_VEL]
+
+    @property
+    def omega(self) -> jax.Array:
+        return self.packed[:, C_OMEGA]
+
+    @property
+    def tau(self) -> jax.Array:
+        return self.packed[:, C_TAU]
+
+    @property
+    def dev(self) -> jax.Array:
+        return self.packed[:, C_DEV]
+
+    @property
+    def mode(self) -> jax.Array:
+        return _bc_i32(self.packed[:, C_MODE])
+
+    @property
+    def coll_facet(self) -> jax.Array:
+        return _bc_i32(self.packed[:, C_CF])
+
+    @property
+    def t_coll(self) -> jax.Array:
+        return self.packed[:, C_TCOLL]
+
+    @property
+    def on_facet(self) -> jax.Array:
+        return _bc_i32(self.packed[:, C_ONF])
+
+
+def with_cols(state: SimState, **updates) -> SimState:
+    """Functional column update: with_cols(state, dev=..., pos=..., step=...).
+
+    Column names go into the packed matrix; any other SimState field name is
+    passed through to dataclasses.replace."""
+    import dataclasses
+
+    cols = {
+        "pos": C_POS, "vel": C_VEL, "omega": C_OMEGA, "tau": C_TAU,
+        "dev": C_DEV, "mode": C_MODE, "coll_facet": C_CF, "t_coll": C_TCOLL,
+        "on_facet": C_ONF, "remaining": C_REM,
+    }
+    ints = {"mode", "coll_facet", "on_facet"}
+    p = state.packed
+    other = {}
+    for k, v in updates.items():
+        if k in cols:
+            v = jnp.asarray(v)
+            if k in ints:
+                v = _bc_f32(v.astype(jnp.int32))
+            v = v.astype(p.dtype) if v.dtype != p.dtype else v
+            p = p.at[:, cols[k]].set(v)
+        else:
+            other[k] = v
+    if p is not state.packed:
+        other["packed"] = p
+    return dataclasses.replace(state, **other)
 
 
 def particle_count(spec: tuple, mat: Material, domain: Domain) -> tuple[int, float]:
@@ -262,16 +348,21 @@ def init_state(
     )
     tau_flat = mat.tau.reshape(len(mat.tau_T), -1)
     tau_p = (1 - wt) * tau_flat[ti, modes] + wt * tau_flat[ti + 1, modes]
+
+    packed = np.zeros((n_cap, N_COLS), dtype=np.float32)
+    packed[:, C_POS] = full(positions.astype(np.float32), 0.0)
+    packed[:, C_VEL] = full(vel_p.astype(np.float32), 0.0)
+    packed[:, C_OMEGA] = full(omega_p.astype(np.float32), 0.0)
+    packed[:, C_TAU] = full(tau_p.astype(np.float32), 0.0)
+    packed[:, C_DEV] = full(dev.astype(np.float32), 0.0)
+    packed[:, C_MODE] = full(modes.astype(np.int32), 0).view(np.float32)
+    packed[:, C_CF] = np.full(n_cap, STALE, np.int32).view(np.float32)
+    packed[:, C_TCOLL] = np.inf
+    packed[:, C_ONF] = np.full(n_cap, -1, np.int32).view(np.float32)
+    packed[:, C_REM] = 0.0
     state = SimState(
-        pos=jnp.asarray(full(positions.astype(np.float32), 0.0)),
-        mode=jnp.asarray(full(modes.astype(np.int32), 0)),
-        vel=jnp.asarray(full(vel_p.astype(np.float32), 0.0)),
-        omega=jnp.asarray(full(omega_p.astype(np.float32), 0.0)),
-        tau=jnp.asarray(full(tau_p.astype(np.float32), 0.0)),
-        dev=jnp.asarray(full(dev.astype(np.float32), 0.0)),
+        packed=jnp.asarray(packed),
         alive=jnp.asarray(alive),
-        t_coll=jnp.full(n_cap, np.inf, dtype=jnp.float32),
-        coll_facet=jnp.full(n_cap, STALE, dtype=jnp.int32),
         sv_id=jnp.asarray(full(sv.astype(np.int32), 0)),
         T_sv=jnp.asarray(T_sv, dtype=jnp.float32),
         Np_sv=jnp.asarray(np.bincount(sv, minlength=SV).astype(np.int32)),
@@ -296,14 +387,12 @@ def prime_collision_cache(state: SimState, geo: DeviceGeometry, dt: float) -> Si
     reference classes/Population.py:308-316). The per-step cascade only
     re-casts a bounded buffer of stale entries, so the initial population must
     arrive with a valid collision cache."""
-    import dataclasses
-
     from nanokappa_tpu.ops.raycast import raycast
 
     t, f = raycast(
-        geo, state.pos, state.vel, jnp.full(state.pos.shape[0], -1, jnp.int32)
+        geo, state.pos, state.vel, jnp.full(state.packed.shape[0], -1, jnp.int32)
     )
-    return dataclasses.replace(
+    return with_cols(
         state,
         t_coll=(t / dt).astype(jnp.float32),
         coll_facet=jnp.where(state.alive, f, STALE),

@@ -92,12 +92,10 @@ def make_step(
 
         # 1. reservoir injection
         if "inject" not in skip:
-            state, remaining, on_facet, stale_idx = inject(
+            state, stale_idx = inject(
                 state, geo, mat, rtab, params, k_inj, shard_idx(), psum
             )
         else:
-            remaining = jnp.where(state.alive, 1.0, 0.0).astype(jnp.float32)
-            on_facet = jnp.full(state.alive.shape, -1, dtype=jnp.int32)
             stale_idx = jnp.full(
                 params.inj_cap, state.alive.shape[0], dtype=jnp.int32
             )
@@ -105,8 +103,7 @@ def make_step(
         # 2. drift + boundary cascade
         if "cascade" not in skip:
             state = run_cascade(
-                state, remaining, on_facet, stale_idx, geo, mat, btab, params,
-                k_casc, psum, vary,
+                state, stale_idx, geo, mat, btab, params, k_casc, psum, vary,
             )
 
         # 3. rebin + refresh temperatures (classes/Population.py:685-728)
@@ -151,28 +148,14 @@ def make_step(
         else:
             dev = state.dev
 
-        new_state = SimState(
-            pos=state.pos,
-            mode=state.mode,
-            vel=state.vel,
-            omega=state.omega,
-            tau=state.tau,
+        from nanokappa_tpu.sim.state import with_cols
+
+        new_state = with_cols(
+            state,
             dev=dev,
-            free_list=state.free_list,
-            free_count=state.free_count,
-            alive=state.alive,
-            t_coll=state.t_coll,
-            coll_facet=state.coll_facet,
             sv_id=sv,
             T_sv=T_sv_new,
             Np_sv=np_sv,
-            res_counter=state.res_counter,
-            n_leaving=state.n_leaving,
-            res_energy_balance=state.res_energy_balance,
-            res_heat_flux=state.res_heat_flux,
-            lost=state.lost,
-            frozen=state.frozen,
-            key=state.key,
             step=state.step + 1,
         )
         outputs = StepOutputs(
@@ -194,9 +177,9 @@ def make_step(
 
 
 def _mk(state, dev, sv, T_sv_new, np_sv, E_sv, phi, energies, psum):
-    import dataclasses
+    from nanokappa_tpu.sim.state import with_cols
 
-    new_state = dataclasses.replace(
+    new_state = with_cols(
         state, dev=dev, sv_id=sv, T_sv=T_sv_new, Np_sv=np_sv,
         step=state.step + 1,
     )
@@ -232,14 +215,13 @@ def refresh_tau(state: SimState, geo, mat, params) -> SimState:
     """Full-width lifetime refresh, once per outer scan (~every 10 steps):
     between refreshes tau only goes stale by the slow subvolume-temperature
     drift (<0.1 K), a <0.1% lifetime error, far below Monte Carlo noise."""
-    import dataclasses
-
     from nanokappa_tpu.sim.scatter import lifetime_lookup
+    from nanokappa_tpu.sim.state import with_cols
 
     sv = subvol_id(geo, state.pos)
     T_p = interp_T_particles(geo, state.T_sv, state.pos, sv, params.temp_interp)
     tau = lifetime_lookup(mat, T_p, state.mode)
-    return dataclasses.replace(state, tau=jnp.where(state.alive, tau, state.tau))
+    return with_cols(state, tau=jnp.where(state.alive, tau, state.tau))
 
 
 def reset_ledgers(state: SimState) -> SimState:

@@ -131,7 +131,9 @@ def test_sharded_escape_repair(small_material, mesh):
     alive = np.asarray(state.alive)
     idx = np.nonzero(alive)[0][:: max(1, alive.sum() // 200)][:200]
     pos[idx] = np.array([1e6, 1e6, 1e6])
-    state = dataclasses.replace(state, pos=jnp.asarray(pos))
+    from nanokappa_tpu.sim.state import with_cols
+
+    state = with_cols(state, pos=jnp.asarray(pos))
     state = shard_state(state, mesh)
 
     pool = dom.mesh.sample_volume(1 << 10, np.random.default_rng(1))
