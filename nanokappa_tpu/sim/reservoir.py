@@ -288,19 +288,18 @@ def inject(
             jnp.full((cap, 1), jnp.inf, jnp.float32),  # C_TCOLL
             _bc_f32(inj_facet)[:, None],  # C_ONF
             (inj_dtin / dt).astype(jnp.float32)[:, None],  # C_REM
+            jnp.ones((cap, 1), jnp.float32),  # C_ALIVE
         ],
         axis=1,
     )
     packed = state.packed.at[didx_w].set(
         inj_rows, mode="drop", unique_indices=True
     )
-    alive = state.alive.at[didx_w].set(True, mode="drop", unique_indices=True)
 
     lost = state.lost + psum(dropped_inj + jnp.maximum(n_valid - n_used, 0))
 
     new_state = SimState(
         packed=packed,
-        alive=alive,
         sv_id=state.sv_id,
         T_sv=state.T_sv,
         Np_sv=state.Np_sv,

@@ -69,7 +69,9 @@ C_ONF = 12  # facet the particle sits on, excluded from its next ray cast
 C_REM = 13  # remaining fraction of the current dt (injection writes the
 #   partial dt_in/dt; the cascade derives everyone else's from `alive`,
 #   keyed on C_CF == STALE)
-N_COLS = 14
+C_ALIVE = 14  # 1.0 = alive, 0.0 = dead slot (bool as f32 so the liveness
+#   update rides the same row scatters as everything else)
+N_COLS = 15
 
 
 def _bc_f32(a: jax.Array) -> jax.Array:
@@ -89,7 +91,6 @@ class SimState:
     # (reflection / injection) — random-index gathers from the (M,) tables
     # are the most expensive primitive on TPU.
     packed: jax.Array  # (N, N_COLS) f32
-    alive: jax.Array  # (N,) bool
 
     # fields refreshed every step
     sv_id: jax.Array  # (N,) i32
@@ -155,6 +156,10 @@ class SimState:
     def on_facet(self) -> jax.Array:
         return _bc_i32(self.packed[:, C_ONF])
 
+    @property
+    def alive(self) -> jax.Array:
+        return self.packed[:, C_ALIVE] > 0.5
+
 
 def with_cols(state: SimState, **updates) -> SimState:
     """Functional column update: with_cols(state, dev=..., pos=..., step=...).
@@ -166,7 +171,7 @@ def with_cols(state: SimState, **updates) -> SimState:
     cols = {
         "pos": C_POS, "vel": C_VEL, "omega": C_OMEGA, "tau": C_TAU,
         "dev": C_DEV, "mode": C_MODE, "coll_facet": C_CF, "t_coll": C_TCOLL,
-        "on_facet": C_ONF, "remaining": C_REM,
+        "on_facet": C_ONF, "remaining": C_REM, "alive": C_ALIVE,
     }
     ints = {"mode", "coll_facet", "on_facet"}
     p = state.packed
@@ -360,9 +365,9 @@ def init_state(
     packed[:, C_TCOLL] = np.inf
     packed[:, C_ONF] = np.full(n_cap, -1, np.int32).view(np.float32)
     packed[:, C_REM] = 0.0
+    packed[:, C_ALIVE] = alive.astype(np.float32)
     state = SimState(
         packed=jnp.asarray(packed),
-        alive=jnp.asarray(alive),
         sv_id=jnp.asarray(full(sv.astype(np.int32), 0)),
         T_sv=jnp.asarray(T_sv, dtype=jnp.float32),
         Np_sv=jnp.asarray(np.bincount(sv, minlength=SV).astype(np.int32)),
