@@ -220,9 +220,56 @@ class TriMesh:
         return out
 
     def sample_volume(self, n: int, rng: np.random.Generator | None = None) -> np.ndarray:
-        """Uniform interior samples by bbox rejection
-        (reference samples Delaunay simplices, classes/Mesh.py:890-921)."""
+        """Uniform interior samples.
+
+        Primary path: volume-weighted Delaunay simplex sampling (reference
+        sample_volume, classes/Mesh.py:890-904) — O(n) regardless of how
+        sparsely the solid fills its bounding box (freewire/star/thin shells,
+        where bbox rejection grinds). The tetrahedralisation is built lazily
+        from vertices + interior/surface seed points, keeping tetrahedra
+        whose centroid lies inside the solid; if its volume disagrees with
+        the surface-integral volume by >1% (pathological concavity), samples
+        fall back to bbox rejection. A final containment filter rejects the
+        tiny fraction of samples a concave tetra can push outside."""
         rng = rng or np.random.default_rng()
+        tet = self._tetrahedra()
+        if tet is None:
+            return self._sample_volume_rejection(n, rng)
+        tets, cdf = tet
+        out = np.zeros((0, 3))
+        want = n
+        for _ in range(16):
+            pick = np.searchsorted(cdf, rng.uniform(size=int(want * 1.05) + 16))
+            pick = np.minimum(pick, len(cdf) - 1)
+            tet4 = tets[pick]  # (k,4,3)
+            # uniform barycentric in a tetrahedron: cube folding
+            # (Rocchini & Cignoni, JGT 2000)
+            s, t, u = rng.uniform(size=(3, len(pick)))
+            m1 = s + t > 1
+            s = np.where(m1, 1 - s, s)
+            t = np.where(m1, 1 - t, t)
+            sum3 = s + t + u
+            m2 = t + u > 1
+            m3 = ~m2 & (sum3 > 1)
+            t2 = np.where(m2, 1 - u, t)
+            s2 = np.where(m3, 1 - t - u, s)
+            u2 = np.where(m2 | m3, sum3 - 1, u)
+            a = 1 - s2 - t2 - u2
+            bary = np.stack([a, s2, t2, u2], axis=1)  # (k,4) all >= 0
+            cand = np.einsum("kj,kjd->kd", bary, tet4)
+            cand = cand[self.contains(cand)]
+            out = np.vstack([out, cand])
+            if out.shape[0] >= n:
+                return out[:n]
+            want = n - out.shape[0]
+        # concave pathological case: top up by rejection
+        rest = self._sample_volume_rejection(n - out.shape[0], rng)
+        return np.vstack([out, rest])[:n]
+
+    def _sample_volume_rejection(
+        self, n: int, rng: np.random.Generator
+    ) -> np.ndarray:
+        """Bbox rejection sampling (reference classes/Mesh.py:906-921)."""
         lo, hi = self.bounds
         out = np.zeros((0, 3))
         while out.shape[0] < n:
@@ -230,6 +277,46 @@ class TriMesh:
             cand = cand[self.contains(cand)]
             out = np.vstack([out, cand])
         return out[:n]
+
+    def _tetrahedra(self):
+        """Lazy Delaunay volume tetrahedralisation (reference
+        triangulate_volume, classes/Mesh.py:354-486): vertices + seed points,
+        tetrahedra kept by centroid containment, volume-weighted CDF."""
+        if hasattr(self, "_tet_cache"):
+            return self._tet_cache
+        self._tet_cache = None
+        try:
+            from scipy.spatial import Delaunay, QhullError
+        except Exception:  # pragma: no cover
+            return None
+        rng = np.random.default_rng(0)
+        try:
+            # seed with surface points so concave regions get fine tetrahedra
+            # (the reference densifies with sampled surface/volume points)
+            n_seed = min(4 * len(self.faces), 2000)
+            fs = rng.integers(0, len(self.faces), n_seed)
+            r1, r2 = rng.uniform(size=(2, n_seed))
+            su = np.sqrt(r1)
+            b = np.stack([1 - su, su * (1 - r2), su * r2], axis=1)
+            surf = np.einsum("nk,nkj->nj", b, self.tri[fs])
+            pts = np.vstack([self.vertices, surf])
+            dela = Delaunay(pts)
+        except (QhullError, ValueError):
+            return None
+        tets = pts[dela.simplices]  # (T,4,3)
+        e1 = tets[:, 1] - tets[:, 0]
+        e2 = tets[:, 2] - tets[:, 0]
+        e3 = tets[:, 3] - tets[:, 0]
+        vols = np.abs(np.einsum("ij,ij->i", e1, np.cross(e2, e3))) / 6.0
+        keep = (vols > 1e-12) & self.contains(tets.mean(axis=1))
+        tets, vols = tets[keep], vols[keep]
+        if len(tets) == 0:
+            return None
+        total = vols.sum()
+        if not (0.99 * self.volume <= total <= 1.01 * self.volume):
+            return None  # concave misfit -> rejection fallback
+        self._tet_cache = (tets, np.cumsum(vols) / total)
+        return self._tet_cache
 
     def sample_surface(
         self, n: int, facet: int, rng: np.random.Generator | None = None

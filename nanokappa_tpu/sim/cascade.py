@@ -410,7 +410,15 @@ def _event_round(
     e_abs = HBAR * b.omega * dn_abs
     n_out = geo.facet_normal[cf]
     vdn = jnp.einsum("nj,nj->n", b.vel, n_out)
-    flux_w = jnp.where(jnp.abs(vdn) > 1e-12, e_abs / vdn, 0.0)
+    # reference ledger: hflux += e*v/(v.n) (classes/Population.py:1599-1600).
+    # The 1/(v.n) obliquity factor diverges for grazing-incidence modes; at
+    # production mode-table sizes a single near-tangent absorption overflows
+    # f32 and poisons the ledger with inf/NaN. Clamp the obliquity at 1e3x
+    # (|v.n| >= 1e-3 |v|): grazing modes almost never cross, so the bias is
+    # far below Monte Carlo noise while the sum stays finite.
+    vmag = jnp.linalg.norm(b.vel, axis=1)
+    vdn_safe = jnp.sign(vdn) * jnp.maximum(jnp.abs(vdn), 1e-3 * vmag)
+    flux_w = jnp.where(jnp.abs(vdn_safe) > 1e-30, e_abs / vdn_safe, 0.0)
     seg = jnp.where(absorb & (res_id >= 0), res_id, R8 - 1)
     vals = jnp.stack(
         [

@@ -136,6 +136,28 @@ def test_voronoi_and_grid_subvolumes():
     assert dom_v.subvol_volume.sum() == pytest.approx(dom_v.volume, rel=0.05)
 
 
+def test_simplex_volume_sampling():
+    """Delaunay-simplex interior sampling (reference sample_volume,
+    classes/Mesh.py:890-904): O(n) for sparse shapes, uniform, always inside."""
+    rng = np.random.default_rng(11)
+    # sparse non-convex solid: tetra path engages and samples stay inside
+    m = make_primitive("freewire", ALL_SHAPES["freewire"])
+    pts = m.sample_volume(4000, rng)
+    assert m._tetrahedra() is not None
+    assert m.contains(pts).all()
+    # uniformity on a box: mean at centre, per-axis std = L/sqrt(12)
+    box = make_primitive("box", (1000.0, 500.0, 250.0))
+    pts = box.sample_volume(40000, rng)
+    np.testing.assert_allclose(pts.mean(0), [500, 250, 125], rtol=0.02)
+    np.testing.assert_allclose(
+        pts.std(0), np.array([1000, 500, 250]) / np.sqrt(12), rtol=0.03
+    )
+    # pathological concave fit falls back to rejection and still works
+    star = make_primitive("star", ALL_SHAPES["star"])
+    pts = star.sample_volume(500, rng)
+    assert star.contains(pts).all()
+
+
 def test_qmc_subvol_volume_matches_mc():
     """Sobol QMC volume sampling (reference qmc algorithm,
     classes/Geometry.py:554-599) agrees with plain MC on a non-box solid."""
