@@ -227,6 +227,9 @@ class Simulation:
     def _observe(self, out):
         """Convert StepOutputs into one convergence datapoint (host)."""
         dom, args = self.domain, self.args
+        # ONE batched device->host transfer: per-array np.asarray costs a
+        # full round trip each (hundreds of ms through a remote-TPU tunnel)
+        out = jax.device_get(out)
         T = np.asarray(out.T_sv, dtype=float)
         E = np.asarray(out.E_sv, dtype=float)
         phi = np.asarray(out.phi_sv, dtype=float)

@@ -100,7 +100,7 @@ def compact_indices_pallas(mask: jax.Array, cap: int, interpret: bool = False):
     # csum/counts row lookups as ONE 2-wide row gather (scalar gathers run at
     # ~7.6 ns/elem on TPU; contiguous row gathers amortise ~20x)
     cc = jnp.stack([csum, counts], axis=1)  # (rows, 2)
-    cc_rows = jnp.take(cc, rowid, axis=0)  # (cap, 2)
+    cc_rows = jnp.take(cc, rowid, axis=0, mode="clip")  # (cap, 2)
     start = cc_rows[:, 0] - cc_rows[:, 1]
     within = jnp.clip(j - start, 0, _LANES - 1)
     pidx = idx.reshape(-1, _LANES)[rowid, within]

@@ -101,15 +101,18 @@ def _raycast_unrolled(geo, pos, vel, exclude_facet):
     return best_t, best_f
 
 
-def _raycast_broadcast(geo, pos, vel, exclude_facet):
-    a = geo.tri_origin  # (F,3)
-    e1 = geo.tri_e1
-    e2 = geo.tri_e2
+_CHUNK_F = 256  # triangle-chunk width for large meshes: bounds the (N, F)
+#   broadcast at (N, 256) regardless of triangle count (imported STLs can
+#   carry thousands of triangles; an un-chunked (N, F, 3) would not fit)
 
-    h = jnp.cross(vel[:, None, :], e2[None, :, :])  # (N,F,3)
-    det = jnp.einsum("fj,nfj->nf", e1, h)  # (N,F)
+
+def _raycast_chunk(pos, vel, exclude_facet, a, e1, e2, tfac):
+    """(N, c) Moller-Trumbore against one triangle chunk; returns (t, facet)
+    of the nearest valid hit within the chunk."""
+    h = jnp.cross(vel[:, None, :], e2[None, :, :])  # (N,c,3)
+    det = jnp.einsum("fj,nfj->nf", e1, h)  # (N,c)
     inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
-    s = pos[:, None, :] - a[None, :, :]  # (N,F,3)
+    s = pos[:, None, :] - a[None, :, :]
     u = jnp.einsum("nfj,nfj->nf", s, h) * inv
     q = jnp.cross(s, e1[None, :, :])
     w = jnp.einsum("nj,nfj->nf", vel, q) * inv
@@ -122,12 +125,52 @@ def _raycast_broadcast(geo, pos, vel, exclude_facet):
         & (w >= -_BARY_TOL)
         & (u + w <= 1.0 + _BARY_TOL)
         & (t >= 0.0)
-        & (geo.tri_facet[None, :] != exclude_facet[:, None])
+        & (tfac[None, :] != exclude_facet[:, None])
+        & (tfac[None, :] >= 0)  # padding triangles carry facet -1
     )
     t = jnp.where(valid, t, jnp.inf)
     tri_hit = jnp.argmin(t, axis=1)
     t_hit = jnp.take_along_axis(t, tri_hit[:, None], axis=1)[:, 0]
-    facet = jnp.where(
-        jnp.isfinite(t_hit), geo.tri_facet[tri_hit], -1
-    ).astype(jnp.int32)
+    facet = jnp.where(jnp.isfinite(t_hit), tfac[tri_hit], -1).astype(jnp.int32)
+    return t_hit, facet
+
+
+def _raycast_broadcast(geo, pos, vel, exclude_facet):
+    F = geo.tri_origin.shape[0]
+    if F <= _CHUNK_F:
+        return _raycast_chunk(
+            pos, vel, exclude_facet,
+            geo.tri_origin, geo.tri_e1, geo.tri_e2, geo.tri_facet,
+        )
+    # large mesh: scan triangle chunks with a running minimum, so memory
+    # stays (N, _CHUNK_F) however many triangles the import carries
+    n_pad = -(-F // _CHUNK_F) * _CHUNK_F
+    pad = n_pad - F
+
+    def pad0(x):
+        width = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+        return jnp.pad(x, width)
+
+    a = pad0(geo.tri_origin).reshape(-1, _CHUNK_F, 3)
+    e1 = pad0(geo.tri_e1).reshape(-1, _CHUNK_F, 3)
+    e2 = pad0(geo.tri_e2).reshape(-1, _CHUNK_F, 3)
+    tfac = jnp.pad(
+        geo.tri_facet, (0, pad), constant_values=-1
+    ).reshape(-1, _CHUNK_F)
+
+    def body(carry, chunk):
+        best_t, best_f = carry
+        ca, ce1, ce2, ctf = chunk
+        t, f = _raycast_chunk(pos, vel, exclude_facet, ca, ce1, ce2, ctf)
+        closer = t < best_t
+        return (
+            jnp.where(closer, t, best_t),
+            jnp.where(closer, f, best_f),
+        ), None
+
+    init = (
+        jnp.full(pos.shape[0], jnp.inf, dtype=pos.dtype),
+        jnp.full(pos.shape[0], -1, dtype=jnp.int32),
+    )
+    (t_hit, facet), _ = jax.lax.scan(body, init, (a, e1, e2, tfac))
     return t_hit, facet

@@ -169,7 +169,7 @@ def run_cascade(
     # (the allocator pop in inject IS the stale set — no N-wide compaction;
     # one row gather serves position, velocity and excluded facet)
     sidx = stale_idx
-    rows_s = jnp.take(state.packed, sidx, axis=0)  # (inj_cap, N_COLS)
+    rows_s = jnp.take(state.packed, sidx, axis=0, mode="clip")  # (inj_cap, N_COLS)
     t_b, f_b = raycast(
         geo, rows_s[:, C_POS], rows_s[:, C_VEL], i32(rows_s[:, C_ONF])
     )
@@ -229,7 +229,10 @@ def run_cascade(
 
     # buffer fill: ONE row gather serves every per-particle field
     # (pidx from _compact is ascending with a sentinel-N tail)
-    rows = jnp.take(packed, pidx, axis=0, indices_are_sorted=True)
+    # mode="clip": jnp.take defaults to 'fill' which returns NaN ROWS for
+    # the sentinel lanes — masked everywhere EXCEPT the ledger matmul,
+    # where 0 * NaN poisons every segment's flux columns
+    rows = jnp.take(packed, pidx, axis=0, indices_are_sorted=True, mode="clip")
 
     buf = _Buf(
         pos=rows[:, C_POS],
@@ -267,7 +270,7 @@ def run_cascade(
     v2 = lane2 < n2
 
     def gat2(x):
-        return jnp.take(x, sidx2, axis=0, indices_are_sorted=True)
+        return jnp.take(x, sidx2, axis=0, indices_are_sorted=True, mode="clip")
 
     def take2(x, fill):
         return jnp.where(v2 if x.ndim == 1 else v2[:, None], gat2(x), fill)

@@ -102,6 +102,12 @@ def test_film_conducts_and_converges(small_material):
     # population stable, no quarantined particles
     assert int(out.lost) == 0
     assert abs(int(out.N_p) - 2e4) / 2e4 < 0.25
+    # reservoir ledgers stay finite: sentinel event-buffer lanes must never
+    # poison the flux columns (regression for jnp.take mode='fill' NaN rows
+    # reaching the one-hot ledger matmul, and for grazing-incidence 1/(v.n)
+    # overflow at large mode tables)
+    assert np.isfinite(np.asarray(out.res_heat_flux)).all()
+    assert np.isfinite(np.asarray(out.res_energy_balance)).all()
     # kappa in the physically expected window: below bulk, above 1/4 bulk
     _, kt = kappa_slice(
         T, phi, np.asarray(out.Np_sv), np.array([302.0, 298.0]), 5e3, 0
