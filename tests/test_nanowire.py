@@ -69,6 +69,18 @@ def test_specularity_sweep(small_material):
     assert int(out0.lost) < 50 and int(out10.lost) < 50
 
 
+def test_wavevector_scattering_model(small_material):
+    """The 'k' correspondence model (wavevector mirror + FBZ fold + nearest-q
+    match with random degenerate-branch split, classes/Population.py:1058-1239)
+    runs end to end and conducts like the default velocity model."""
+    kv, _ = wire_kappa(small_material, eta=1.0, scat_model="k")
+    kvel, out = wire_kappa(small_material, eta=1.0, scat_model="velocity")
+    assert kv > 0 and np.isfinite(kv)
+    # the two correspondence models agree on the physics within MC noise
+    assert abs(kv - kvel) < 0.5 * kvel
+    assert int(out.lost) < 50
+
+
 def test_wire_specularity_table(small_material):
     """For a 12-sided wire the rough sidewall has 12 distinct normals; eta>0
     gives 0 < p < 1 for oblique modes (Ziman, classes/Population.py:852-877)."""
