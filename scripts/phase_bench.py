@@ -82,19 +82,17 @@ def main():
         return inject(state, geo, mat, rtab, params, key, 0)
 
     print(f"inject:   {timeit(phase_inject, state):7.3f} ms", flush=True)
-    st2, remaining, on_facet, stale_idx = phase_inject(state)
+    st2, stale_idx = phase_inject(state)
 
     @jax.jit
-    def phase_cascade(st2, remaining, on_facet, stale_idx):
-        return run_cascade(
-            st2, remaining, on_facet, stale_idx, geo, mat, btab, params, key
-        )
+    def phase_cascade(st2, stale_idx):
+        return run_cascade(st2, stale_idx, geo, mat, btab, params, key)
 
     print(
-        f"cascade:  {timeit(phase_cascade, st2, remaining, on_facet, stale_idx):7.3f} ms",
+        f"cascade:  {timeit(phase_cascade, st2, stale_idx):7.3f} ms",
         flush=True,
     )
-    st3 = phase_cascade(st2, remaining, on_facet, stale_idx)
+    st3 = phase_cascade(st2, stale_idx)
 
     @jax.jit
     def phase_bin(state):
@@ -120,11 +118,11 @@ def main():
 
     # cascade internals
     @jax.jit
-    def casc_compact(state, remaining):
-        event = state.alive & (remaining > 1e-5) & (state.coll_facet >= 0)
+    def casc_compact(state):
+        event = state.alive & (state.coll_facet >= 0)
         return C._compact(event, 1 << 16)
 
-    print(f"  compact alone: {timeit(casc_compact, st3, remaining):7.3f} ms", flush=True)
+    print(f"  compact alone: {timeit(casc_compact, st3):7.3f} ms", flush=True)
 
     # scan overhead: n_inner=1 vs 20
     run1, _ = build_cfg(n, 8, n_inner=1)
