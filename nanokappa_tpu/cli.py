@@ -15,6 +15,20 @@ from nanokappa_tpu.io.config import generate_results_folder, read_args
 
 
 def main(argv=None):
+    # offline postprocess: rebuild figures from a finished results folder and
+    # exit — no simulation, no TPU (reference Visualisation.postprocess can
+    # likewise rebuild from a folder alone, classes/Visualisation.py:214-254).
+    # Parsed before the full parser so the required -pf/-hf flags aren't
+    # demanded; everything else comes from the folder's arguments.txt.
+    argv_l = list(sys.argv[1:] if argv is None else argv)
+    for flag in ("--postprocess",):
+        if flag in argv_l:
+            folder = argv_l[argv_l.index(flag) + 1]
+            from nanokappa_tpu.visual import postprocess_folder
+
+            postprocess_folder(folder)
+            return
+
     from nanokappa_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()

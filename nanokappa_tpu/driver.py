@@ -45,6 +45,44 @@ def parse_max_time(s: str) -> float:
 N_DT_TO_CONV = 10  # timesteps per convergence datapoint (Population.py:41)
 
 
+def material_from_args(args) -> Material:
+    """Load the material exactly as the driver does (shared with the offline
+    postprocess entry)."""
+    rotation = None
+    if len(args.mat_rotation) >= 4:
+        rotation = (
+            [float(x) for x in args.mat_rotation[1:4]],
+            str(args.mat_rotation[4]) if len(args.mat_rotation) > 4 else "xyz",
+        )
+    return load_material(
+        args.mat_folder[0],
+        args.hdf_file[0],
+        args.poscar_file[0],
+        isotope_scattering=0 in list(args.isotope_scat),
+        rotation=rotation,
+    )
+
+
+def domain_from_args(args) -> Domain:
+    """Build the domain exactly as the driver does (shared with the offline
+    postprocess entry)."""
+    rot = None
+    gr = list(args.geo_rotation)
+    if len(gr) >= 4 and any(float(x) != 0 for x in gr[:-1]):
+        rot = ([float(x) for x in gr[:-1]], str(gr[-1]))
+    return build_domain(
+        geometry=str(args.geometry[0]).replace("cuboid", "box"),
+        dimensions=[float(d) for d in args.dimensions],
+        scale=[float(s) for s in args.scale],
+        rotation=rot,
+        subvolumes=tuple(args.subvolumes),
+        bound_pos=tuple(args.bound_pos),
+        bound_cond=tuple(args.bound_cond),
+        bound_values=tuple(args.bound_values),
+        connect_pos=tuple(args.connect_pos),
+    )
+
+
 class Simulation:
     """Everything assembled from parsed args; run() is the main loop."""
 

@@ -63,20 +63,40 @@ def initialise_parser(debug_flag: bool = True) -> argparse.ArgumentParser:
     p.add_argument("--pool_margin", type=float, nargs=1, default=[1.4], help=dbg("Particle pool capacity / target population."))
     p.add_argument("--seed", type=int, nargs=1, default=[0], help=dbg("PRNG seed."))
     p.add_argument("--profile", type=str, nargs=1, default=[""], help=dbg("Write a jax.profiler trace of one 10-step block to this directory."))
+    p.add_argument("--postprocess", type=str, nargs=1, default=[""], help="Rebuild every figure from a finished results folder's files alone, then exit (no simulation).")
     return p
 
 
-def read_args(argv=None, debug_flag: bool = True) -> argparse.Namespace:
+def read_args(argv=None, debug_flag: bool = True, tolerant: bool = False) -> argparse.Namespace:
+    """Parse argv, replaying a parameter file when -ff/--from_file is given.
+
+    `tolerant=True` ignores unknown flags instead of erroring — used by the
+    offline postprocess entry so a REFERENCE results folder's arguments.txt
+    (which may carry flags like --rt_plot that only the reference knows,
+    argument_parser.py:76-80) still parses."""
     argv = list(sys.argv[1:] if argv is None else argv)
     parser = initialise_parser(debug_flag)
+
+    def parse(tokens):
+        if tolerant:
+            ns, unknown = parser.parse_known_args(tokens)
+            return ns
+        return parser.parse_args(tokens)
+
     if "-ff" in argv or "--from_file" in argv:
         i = argv.index("-ff") if "-ff" in argv else argv.index("--from_file")
         filename = argv[i + 1]
         with open(filename) as f:
-            args = parser.parse_args(f.read().split())
+            tokens = f.read().split()
+        if tolerant and "--from_file" in tokens:
+            # a replayed arguments.txt may itself carry a --from_file entry
+            # pointing at a file that no longer exists; drop it
+            j = tokens.index("--from_file")
+            del tokens[j : j + 2]
+        args = parse(tokens)
         args.from_file = filename
         return args
-    return parser.parse_args(argv)
+    return parse(argv)
 
 
 def generate_results_folder(args) -> argparse.Namespace:

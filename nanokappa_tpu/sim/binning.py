@@ -116,8 +116,15 @@ def segment_matmul(vals: jax.Array, seg: jax.Array, n_seg: int) -> jax.Array:
     oh = (seg[:, None] == jnp.arange(n_seg, dtype=seg.dtype)[None, :]).astype(
         vals.dtype
     )
+    # Precision.HIGHEST: the MXU's default precision rounds the f32 `vals`
+    # operand to bf16 (~2^-8 relative error), which would silently degrade the
+    # energy-balance ledgers this framework advertises as exact. The one-hot
+    # operand is exact either way; the dot is (n_seg, K)-shaped output so the
+    # extra passes cost microseconds.
     return jax.lax.dot_general(
-        oh, vals, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        oh, vals, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

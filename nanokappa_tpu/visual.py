@@ -269,19 +269,36 @@ def spectral_kappa(sim, n_bands: int = 100, T_mean: np.ndarray | None = None):
     occ = sim.occupation_of(s)[alive]
     T_sv = np.asarray(s.T_sv, dtype=float)
     sv = np.asarray(s.sv_id)[alive]
-    from nanokappa_tpu.constants import A_IN_M, EVPSA2_IN_WM2
     from nanokappa_tpu.material.tables import bose_einstein
 
+    Tm = T_sv if T_mean is None else np.asarray(T_mean, dtype=float)
     dn = occ - bose_einstein(T_sv[sv], omega)
+    return spectral_kappa_arrays(mat, sim.domain, omega, vel, dn, sv, Tm, n_bands)
+
+
+def spectral_kappa_arrays(
+    mat,  # host Material (n_qpoints, volume_unitcell, n_active_modes, omega)
+    dom,  # Domain (subvol_connections, subvol_center)
+    omega: np.ndarray,  # (N,) per-particle frequencies
+    vel: np.ndarray,  # (N,3) per-particle group velocities
+    dn: np.ndarray,  # (N,) occupation deviation vs the local temperature
+    sv: np.ndarray,  # (N,) subvolume ids
+    Tm: np.ndarray,  # (SV,) mean subvolume temperatures for the dT
+    n_bands: int = 100,
+):
+    """Array-based core of `spectral_kappa` — shared with the offline
+    postprocess entry, which reconstructs the arrays from particle_data.txt
+    (reference read_particles + flux_contribution,
+    classes/Visualisation.py:98-120, 593-666)."""
+    from nanokappa_tpu.constants import A_IN_M, EVPSA2_IN_WM2
+
     # phi per particle, W/m^2 after density normalisation (reference
     # normalise_to_density, classes/Phonon.py:392-401)
     dens = 1.0 / (mat.n_qpoints * mat.volume_unitcell)
     phi_p = (HBAR * omega * dn)[:, None] * vel * dens * EVPSA2_IN_WM2  # (N,3)
 
-    dom = sim.domain
     cons = np.atleast_2d(np.asarray(dom.subvol_connections, dtype=int))
     centers_sv = dom.subvol_center
-    Tm = T_sv if T_mean is None else np.asarray(T_mean, dtype=float)
 
     bands = np.linspace(0, mat.omega.max() * 1.000001, n_bands + 1)
     centers = (bands[:-1] + bands[1:]) / 2
@@ -301,32 +318,68 @@ def spectral_kappa(sim, n_bands: int = 100, T_mean: np.ndarray | None = None):
     return centers, k, cons
 
 
+def particle_scatters(
+    folder: str,
+    pos: np.ndarray,  # (N,3) alive positions
+    omega: np.ndarray,  # (N,) alive mode frequencies
+    dev: np.ndarray,  # (N,) occupation deviations
+    sv_id: np.ndarray,  # (N,) subvolume ids
+    T_sv: np.ndarray,  # (SV,)
+    props,
+    cmap: str = "jet",
+):
+    """One scatter figure per requested property (reference plot_figures,
+    classes/Population.py:1841-1979)."""
+    for prop in props:
+        if prop in ("T", "temperature", "temperatures"):
+            colors = np.asarray(T_sv, dtype=float)[sv_id]
+            plot_particles(folder, pos, colors, "Temperature [K]",
+                           "fig_temperature.png", cmap)
+        elif prop in ("omega", "angular_frequency", "frequency"):
+            plot_particles(folder, pos, omega, "$\\omega$ [rad THz]",
+                           "fig_omega.png", cmap)
+        elif prop in ("n", "occupation"):
+            plot_particles(folder, pos, dev, "occupation deviation",
+                           "fig_occupation.png", cmap)
+        elif prop in ("e", "energy"):
+            colors = HBAR * omega * dev
+            plot_particles(folder, pos, colors, "energy deviation [eV]",
+                           "fig_energy.png", cmap)
+        elif prop in ("sv", "subvolumes", "subvolume"):
+            plot_particles(folder, pos, sv_id.astype(float), "subvolume",
+                           "fig_subvol.png", cmap)
+
+
 def runtime_figures(sim):
-    """Particle scatter figures refreshed during the run (reference
-    plot_figures every 100 steps, classes/Population.py:1729-1735)."""
+    """Particle scatter figures refreshed during the run: EVERY requested
+    property each cycle (reference plot_figures every 100 steps,
+    classes/Population.py:1729-1735, 1841-1979)."""
     s = sim.state
-    cmap = str(sim.args.colormap[0])
     alive = np.asarray(s.alive)
-    pos = np.asarray(s.pos)[alive]
-    for prop in list(sim.args.fig_plot)[:1]:  # first property only, per cycle
-        if prop in ("e", "energy"):
-            omega = sim.material.omega.reshape(-1)[np.asarray(s.mode)[alive]]
-            colors = HBAR * omega * np.asarray(s.dev)[alive]
-            plot_particles(sim.folder, pos, colors, "energy deviation [eV]", "fig_energy.png", cmap)
-        elif prop in ("T", "temperature", "temperatures"):
-            T_sv = np.asarray(s.T_sv, dtype=float)
-            colors = T_sv[np.asarray(s.sv_id)[alive]]
-            plot_particles(sim.folder, pos, colors, "Temperature [K]", "fig_temperature.png", cmap)
+    omega = sim.material.omega.reshape(-1)[np.asarray(s.mode)[alive]]
+    particle_scatters(
+        sim.folder,
+        np.asarray(s.pos)[alive],
+        omega,
+        np.asarray(s.dev)[alive],
+        np.asarray(s.sv_id)[alive],
+        np.asarray(s.T_sv, dtype=float),
+        list(sim.args.fig_plot),
+        str(sim.args.colormap[0]),
+    )
 
 
 def plot_kappa_path(sim, folder: str):
     """3-D connection graph coloured by kappa, with the snapped path
     highlighted (reference plot_kappa_path, classes/Visualisation.py:719-765)."""
-    dom = sim.domain
     W = list(sim.window)
     if not W or "kappa_con" not in W[0]:
         return
     k = np.nanmean(np.stack([w["kappa_con"] for w in W]), axis=0)
+    plot_kappa_path_data(sim.domain, k, sim.kappa_path, folder)
+
+
+def plot_kappa_path_data(dom, k: np.ndarray, kappa_path, folder: str):
     c = dom.subvol_center
     fig = plt.figure(figsize=(8, 6), dpi=120)
     ax = fig.add_subplot(projection="3d")
@@ -337,8 +390,8 @@ def plot_kappa_path(sim, folder: str):
             c[[a, b], 0], c[[a, b], 1], c[[a, b], 2],
             color=cmap(0.5 + 0.5 * np.nan_to_num(k[ci]) / km), lw=1.2,
         )
-    if sim.kappa_path is not None:
-        p = np.asarray(sim.kappa_path)
+    if kappa_path is not None:
+        p = np.asarray(kappa_path)
         ax.plot(c[p, 0], c[p, 1], c[p, 2], "k-", lw=2.5)
     ax.scatter(c[:, 0], c[:, 1], c[:, 2], s=10, c="k")
     fig.tight_layout()
@@ -362,47 +415,151 @@ def postprocess(sim, verbose: bool = False):
     # particle scatters
     s = sim.state
     alive = np.asarray(s.alive)
-    pos = np.asarray(s.pos)[alive]
-    fig_props = list(sim.args.fig_plot) or ["energy"]
     mat = sim.material
     omega = mat.omega.reshape(-1)[np.asarray(s.mode)[alive]]
-    for prop in fig_props:
-        if prop in ("T", "temperature", "temperatures"):
-            T_sv = np.asarray(s.T_sv, dtype=float)
-            colors = T_sv[np.asarray(s.sv_id)[alive]]
-            plot_particles(folder, pos, colors, "Temperature [K]", "fig_temperature.png")
-        elif prop in ("omega", "angular_frequency", "frequency"):
-            plot_particles(folder, pos, omega, "$\\omega$ [rad THz]", "fig_omega.png")
-        elif prop in ("n", "occupation"):
-            colors = np.asarray(s.dev)[alive]
-            plot_particles(folder, pos, colors, "occupation deviation", "fig_occupation.png")
-        elif prop in ("e", "energy"):
-            colors = HBAR * omega * np.asarray(s.dev)[alive]
-            plot_particles(folder, pos, colors, "energy deviation [eV]", "fig_energy.png")
-        elif prop in ("sv", "subvolumes", "subvolume"):
-            colors = np.asarray(s.sv_id)[alive].astype(float)
-            plot_particles(folder, pos, colors, "subvolume", "fig_subvol.png")
+    particle_scatters(
+        folder,
+        np.asarray(s.pos)[alive],
+        omega,
+        np.asarray(s.dev)[alive],
+        np.asarray(s.sv_id)[alive],
+        np.asarray(s.T_sv, dtype=float),
+        list(sim.args.fig_plot) or ["energy"],
+    )
 
     if dom.subvol_type != "slice":
         plot_kappa_path(sim, folder)
 
     # spectral kappa per connection (reference k_contribution.png,
-    # Visualisation.py:593-666; histogram + cumulative panel per connection)
+    # Visualisation.py:593-666; histogram + cumulative panel per connection).
+    # dT uses the convergence-window MEAN temperatures like the reference's
+    # flux_contribution (self.mean_T): an instantaneous near-zero dT on a
+    # voronoi/grid connection would blow up the per-connection kappa.
     if len(np.atleast_2d(dom.subvol_connections)) and (
         dom.n_of_reservoirs >= 2 or dom.subvol_type != "slice"
     ):
-        centers, k_band, cons = spectral_kappa(sim)
-        fig, ax = plt.subplots(nrows=2, figsize=(9, 10), dpi=120, sharex="all")
-        for c, (i, j) in enumerate(cons):
-            if np.all(np.isnan(k_band[c])):
-                continue
-            ax[0].step(centers, k_band[c], where="mid", label=f"Con. {i}-{j}")
-            ax[1].plot(centers, np.nancumsum(k_band[c]), label=f"Con. {i}-{j}")
-        if len(cons) < 25:
-            ax[0].legend(fontsize="small")
-        ax[0].set_ylabel("$\\kappa(\\omega)$ in band [W/m·K]")
-        ax[1].set_ylabel("cumulated $\\kappa(\\omega)$ [W/m·K]")
-        ax[1].set_xlabel("$\\omega$ [rad THz]")
-        fig.tight_layout()
-        fig.savefig(os.path.join(folder, "k_contribution.png"))
-        plt.close(fig)
+        W = list(getattr(sim, "window", []) or [])
+        T_mean = np.stack([w["T"] for w in W]).mean(0) if W else None
+        centers, k_band, cons = spectral_kappa(sim, T_mean=T_mean)
+        plot_spectral_kappa(folder, centers, k_band, cons)
+
+
+def plot_spectral_kappa(folder: str, centers, k_band, cons):
+    """k_contribution.png: per-band histogram + cumulative panel per
+    connection (reference Visualisation.py:593-666)."""
+    fig, ax = plt.subplots(nrows=2, figsize=(9, 10), dpi=120, sharex="all")
+    for c, (i, j) in enumerate(cons):
+        if np.all(np.isnan(k_band[c])):
+            continue
+        ax[0].step(centers, k_band[c], where="mid", label=f"Con. {i}-{j}")
+        ax[1].plot(centers, np.nancumsum(k_band[c]), label=f"Con. {i}-{j}")
+    if len(cons) < 25:
+        ax[0].legend(fontsize="small")
+    ax[0].set_ylabel("$\\kappa(\\omega)$ in band [W/m·K]")
+    ax[1].set_ylabel("cumulated $\\kappa(\\omega)$ [W/m·K]")
+    ax[1].set_xlabel("$\\omega$ [rad THz]")
+    fig.tight_layout()
+    fig.savefig(os.path.join(folder, "k_contribution.png"))
+    plt.close(fig)
+
+
+def postprocess_folder(folder: str, verbose: bool = True):
+    """Offline postprocess: rebuild every figure a finished results folder
+    supports from its FILES alone — no simulation state (reference
+    read_particles + postprocess, classes/Visualisation.py:98-120, 214-254).
+
+    Degrades gracefully: skips particle-based figures when particle_data.txt
+    is absent and material-based ones when the hdf/poscar files are
+    unavailable (e.g. a mirrored reference folder without the data blobs)."""
+    from nanokappa_tpu.io import writers
+    from nanokappa_tpu.io.config import read_args
+    from nanokappa_tpu.driver import domain_from_args, material_from_args
+    from nanokappa_tpu.geometry.domain import BC
+    from nanokappa_tpu.material.tables import bose_einstein
+
+    args = read_args(
+        ["-ff", os.path.join(folder, "arguments.txt")], tolerant=True
+    )
+    args.results_folder = folder
+    set_theme(str(args.theme[0]))
+    dom = domain_from_args(args)
+    conv = read_convergence(
+        os.path.join(folder, "convergence.txt"),
+        dom.n_of_subvols, dom.n_of_reservoirs, dom.subvol_type,
+        len(dom.subvol_connections),
+    )
+    plot_convergence(folder, conv, dom.subvol_type)
+    if dom.n_of_reservoirs:
+        plot_energy_balance(folder, conv)
+    n_mean = max(1, int(args.n_mean[0]))
+    T_mean = conv["T"][-n_mean:].mean(axis=0)
+
+    try:
+        mat = material_from_args(args)
+        plot_material(mat, folder)
+    except Exception as e:
+        if verbose:
+            print(f"offline postprocess: material unavailable ({e}); "
+                  "skipping mode-resolved figures", flush=True)
+        mat = None
+    try:
+        plot_geometry(dom, folder)
+    except Exception:
+        pass
+
+    pfile = os.path.join(folder, "particle_data.txt")
+    if os.path.exists(pfile):
+        modes_qj, positions, occupation = writers.read_particle_data(pfile)
+        d = np.linalg.norm(
+            positions[:, None, :] - dom.subvol_center[None], axis=-1
+        )
+        sv = np.argmin(d, axis=1)
+        props = list(args.fig_plot) or ["energy"]
+        cmap = str(args.colormap[0])
+        if mat is not None:
+            modes = mat.mode_index(modes_qj[:, 0], modes_qj[:, 1])
+            omega = mat.omega.reshape(-1)[modes]
+            res_T = dom.res_values[
+                dom.bound_cond[dom.res_facets] == BC.TEMPERATURE
+            ]
+            rt = str(args.reference_temp[0])
+            t_ref = (
+                float(res_T.mean()) if rt == "local" and len(res_T)
+                else (300.0 if rt == "local" else float(rt))
+            )
+            dev = occupation - bose_einstein(t_ref, omega)
+            particle_scatters(folder, positions, omega, dev, sv, T_mean,
+                              props, cmap)
+            if len(np.atleast_2d(dom.subvol_connections)) and (
+                dom.n_of_reservoirs >= 2 or dom.subvol_type != "slice"
+            ):
+                vel = mat.group_vel.reshape(-1, 3)[modes]
+                dn = occupation - bose_einstein(T_mean[sv], omega)
+                centers, k_band, cons = spectral_kappa_arrays(
+                    mat, dom, omega, vel, dn, sv, T_mean
+                )
+                plot_spectral_kappa(folder, centers, k_band, cons)
+        else:
+            # no material data: only figures that need positions alone
+            # ('n' plots the raw occupation instead of the deviation)
+            ok = ("n", "occupation", "sv", "subvolumes", "subvolume",
+                  "T", "temperature", "temperatures")
+            particle_scatters(
+                folder, positions, np.zeros(len(positions)), occupation,
+                sv, T_mean, [p for p in props if p in ok], cmap,
+            )
+    elif verbose:
+        print("offline postprocess: no particle_data.txt; "
+              "skipping particle figures", flush=True)
+
+    if dom.subvol_type != "slice" and "con_k" in conv:
+        k_con = np.nanmean(conv["con_k"][-n_mean:], axis=0)
+        kappa_path = None
+        if len(args.path_points) > 1:
+            pts = np.asarray(args.path_points[1:], dtype=float).reshape(-1, 3)
+            if args.path_points[0] == "relative":
+                pts = pts * np.ptp(dom.bounds, axis=0) + dom.bounds[0]
+            kappa_path = dom.find_path(pts)
+        plot_kappa_path_data(dom, k_con, kappa_path, folder)
+    if verbose:
+        print(f"offline postprocess: figures rebuilt in {folder}", flush=True)
