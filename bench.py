@@ -48,7 +48,6 @@ def run_config(n_particles: float, mesh_pts: int, res_gen: str):
         dt=1.0,
         n_cap=int(n_p * 1.25),
         inj_cap=1 << 13,
-        evt_cap=1 << 16,  # events ~5.7%/step at this geometry; ablation-tuned
         temp_interp="nearest",  # the reference's default interpolation
         res_gen=res_gen,
         particle_density=rho,

@@ -43,6 +43,7 @@ def parse_max_time(s: str) -> float:
 
 
 N_DT_TO_CONV = 10  # timesteps per convergence datapoint (Population.py:41)
+CONV_BATCH = 10  # datapoints per host sync (device-batched convergence)
 
 
 def material_from_args(args) -> Material:
@@ -210,22 +211,40 @@ class Simulation:
             self.path_cons = self.domain.path_connections(self.kappa_path)
 
         # --- step function --------------------------------------------------
+        # convergence datapoints are BATCHED on device: one host sync per
+        # CONV_BATCH datapoints (default 10 = 100 timesteps) instead of per
+        # datapoint — through a remote-TPU tunnel each sync costs ~0.6 s
+        # while the device runs a 10-step block in ~100 ms. A 1-datapoint
+        # tail runner is built lazily for iteration counts that do not
+        # divide by the batch. Row cadence in convergence.txt is unchanged.
+        self._mesh = None
         if n_shards > 1:
             from nanokappa_tpu.parallel import (
                 build_sharded_step, make_particle_mesh, shard_state,
             )
 
-            mesh = make_particle_mesh(n_shards)
-            self.state = shard_state(self.state, mesh)
+            self._mesh = make_particle_mesh(n_shards)
+            self.state = shard_state(self.state, self._mesh)
             self.run_steps = build_sharded_step(
-                self.geo, self.mtab, self.btab, self.rtab, self.params, mesh,
-                n_inner=N_DT_TO_CONV,
+                self.geo, self.mtab, self.btab, self.rtab, self.params,
+                self._mesh, n_inner=N_DT_TO_CONV, n_outer=CONV_BATCH,
             )
         else:
             self.run_steps = build_step(
                 self.geo, self.mtab, self.btab, self.rtab, self.params,
-                n_inner=N_DT_TO_CONV,
+                n_inner=N_DT_TO_CONV, n_outer=CONV_BATCH,
             )
+        self._run_tail = None
+
+        # v2 (fused) states carry one PENDING deferred RTA application;
+        # finalize() applies it on a copy before any particle-data write
+        from nanokappa_tpu.sim.fused import make_finalize, v2_eligible
+
+        self._finalize = (
+            make_finalize(self.geo, self.mtab, self.params)
+            if v2_eligible(self.geo, self.params)
+            else (lambda s: s)
+        )
 
         # --- convergence machinery ------------------------------------------
         self.conv_crit = float(args.conv_crit[0])
@@ -378,20 +397,64 @@ class Simulation:
             and not self.finish_sim
             and (time.time() - t_start) < max_seconds
         ):
+            remaining = iterations - self.current_timestep
+            if remaining >= N_DT_TO_CONV * CONV_BATCH:
+                runner, nb = self.run_steps, CONV_BATCH
+            else:
+                # tail: iteration counts not divisible by the batch finish on
+                # a 1-datapoint runner (compiled on first need)
+                if self._run_tail is None:
+                    if self._mesh is not None:
+                        from nanokappa_tpu.parallel import build_sharded_step
+
+                        self._run_tail = build_sharded_step(
+                            self.geo, self.mtab, self.btab, self.rtab,
+                            self.params, self._mesh, n_inner=N_DT_TO_CONV,
+                        )
+                    else:
+                        self._run_tail = build_step(
+                            self.geo, self.mtab, self.btab, self.rtab,
+                            self.params, n_inner=N_DT_TO_CONV,
+                        )
+                runner, nb = self._run_tail, 1
             with trace(profile_dir if (profile_dir and not profiled and self.current_timestep > 0) else None):
-                with timer.phase("device_step_x10"):
-                    self.state, out = self.run_steps(self.state)
-                    jax.block_until_ready(out.T_sv)
+                with timer.phase("device_step"):
+                    self.state, outs = runner(self.state)
+                    jax.block_until_ready(outs.T_sv)
                 profiled = profiled or self.current_timestep > 0
-            self.current_timestep += N_DT_TO_CONV
             with timer.phase("host_observe"):
-                row = self._observe(out)
+                # ONE device->host transfer for the whole batch
+                outs_host = jax.device_get(outs)
+                for i in range(nb):
+                    out = (
+                        outs_host if nb == 1
+                        else jax.tree.map(lambda x: x[i], outs_host)
+                    )
+                    self.current_timestep += N_DT_TO_CONV
+                    row = self._observe(out)
+                    self.window.append(row)
+                    self._write_convergence(row)
+                    last_row = row
+            if nb == 1:
+                # batched blocks reset their ledgers on device
                 self.state = reset_ledgers(self.state)
-                self.window.append(row)
-            with timer.phase("host_write"):
-                self._write_convergence(row)
-            last_row = row
             if self.current_timestep % 100 == 0:
+                # frozen-storm detection: `frozen` counts boundary events
+                # postponed because the event buffer overflowed. A sustained
+                # storm (> 1% of the pool per 100 steps) means evt_cap is
+                # undersized for this geometry — warn loudly instead of
+                # silently degrading the time resolution of those paths.
+                frozen_now = int(last_row["frozen"]) if last_row else 0
+                d_frozen = frozen_now - getattr(self, "_frozen_prev", 0)
+                self._frozen_prev = frozen_now
+                if d_frozen > 0.01 * self.params.n_cap:
+                    print(
+                        f"WARNING: {d_frozen} boundary events frozen in the "
+                        f"last 100 steps (event buffer overflow) — rerun "
+                        f"with a larger evt_cap (current "
+                        f"{self.params.evt_cap or self.params.n_cap // 16})",
+                        flush=True,
+                    )
                 # escape self-healing, sharded or not: the check is pure
                 # elementwise jnp over the particle axis, so jit propagates
                 # the state's "p" shardings through it (reference heals
@@ -432,7 +495,10 @@ class Simulation:
         )
 
     def write_final_state(self):
-        s = self.state
+        # fused (v2) states carry one pending deferred-RTA application; apply
+        # it on a copy so particle_data.txt matches the reference's
+        # end-of-step occupations exactly (resume parity)
+        s = self._finalize(self.state)
         alive = np.asarray(s.alive)
         modes = np.asarray(s.mode)[alive]
         q, j = self.material.mode_to_qj(modes)

@@ -342,22 +342,30 @@ def _nearest_connections(centers: np.ndarray, mesh: TriMesh | None = None) -> np
     the reference's midpoint-containment + occlusion pruning
     (classes/Geometry.py:961-1052)."""
     n = centers.shape[0]
-    pairs = []
-    for i in range(n):
-        for j in range(i + 1, n):
-            mid = (centers[i] + centers[j]) / 2
-            d = np.linalg.norm(centers - mid, axis=1)
-            dij = np.linalg.norm(centers[i] - mid)
-            if np.all(d >= dij - 1e-9):
-                pairs.append((i, j))
-    pairs = np.asarray(pairs, dtype=int).reshape(-1, 2)
+    # natural-neighbour test for ALL pairs at once, chunked so a 500-centre
+    # voronoi domain builds in seconds (the round-2 Python double loop was
+    # O(SV^2) interpreted)
+    iu, ju = np.triu_indices(n, k=1)
+    keep = np.zeros(len(iu), dtype=bool)
+    chunk = 8192
+    for s in range(0, len(iu), chunk):
+        ii, jj = iu[s : s + chunk], ju[s : s + chunk]
+        mid = (centers[ii] + centers[jj]) / 2  # (c,3)
+        d = np.linalg.norm(centers[None, :, :] - mid[:, None, :], axis=-1)
+        dij = np.linalg.norm(centers[ii] - mid, axis=-1)
+        keep[s : s + chunk] = np.all(d >= dij[:, None] - 1e-9, axis=1)
+    pairs = np.stack([iu[keep], ju[keep]], axis=1).astype(int)
     if mesh is not None and len(pairs):
-        # occlusion: sample a few points along each connection; all must lie
-        # inside the solid (a connection across a hole is not a transport path)
-        keep = []
-        for a, b in pairs:
-            ts = np.linspace(0.25, 0.75, 3)[:, None]
-            probe = centers[a] * (1 - ts) + centers[b] * ts
-            keep.append(bool(np.all(mesh.contains(probe))))
-        pairs = pairs[np.asarray(keep)]
+        # occlusion: probe points along each connection; all must lie inside
+        # the solid (a connection across a hole is not a transport path).
+        # 7 evenly spaced probes (vs 3 in round 2) so thin holes the
+        # reference's pruning (classes/Geometry.py:961-1052) catches are not
+        # stepped over; one vectorised contains() call for every probe.
+        ts = (np.arange(1, 8) / 8.0)[None, :, None]  # (1,7,1)
+        probe = (
+            centers[pairs[:, 0]][:, None, :] * (1 - ts)
+            + centers[pairs[:, 1]][:, None, :] * ts
+        ).reshape(-1, 3)
+        inside = mesh.contains(probe).reshape(len(pairs), -1)
+        pairs = pairs[np.all(inside, axis=1)]
     return pairs

@@ -38,11 +38,16 @@ def lloyd_centers(
         s = mesh.sample_volume(n_samples, rng)
         d = np.linalg.norm(s[:, None, :] - centers[None], axis=-1)
         r = np.argmin(d, axis=1)
-        new = centers.copy()
-        for i in range(n):
-            sel = r == i
-            if sel.any():
-                new[i] = s[sel].mean(axis=0)
+        # centroid per region via bincount (vectorised: a 500-centre domain
+        # iterates in milliseconds instead of a Python loop per centroid)
+        cnt = np.bincount(r, minlength=n).astype(float)
+        sums = np.stack(
+            [np.bincount(r, weights=s[:, a], minlength=n) for a in range(3)],
+            axis=1,
+        )
+        new = np.where(
+            cnt[:, None] > 0, sums / np.maximum(cnt, 1.0)[:, None], centers
+        )
         disp = np.linalg.norm(new - centers, axis=1).max()
         centers = new
         if disp < tol * scale:

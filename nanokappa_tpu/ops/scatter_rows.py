@@ -107,8 +107,8 @@ def scatter_rows_sorted(
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((CP, BN), lambda i, s: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # rowsT: DMA'd manually
-            pl.BlockSpec(memory_space=pltpu.ANY),  # idx: DMA'd manually
+            pl.BlockSpec(memory_space=pl.ANY),  # rowsT: DMA'd manually
+            pl.BlockSpec(memory_space=pl.ANY),  # idx: DMA'd manually
         ],
         out_specs=pl.BlockSpec(
             (CP, BN), lambda i, s: (0, i), memory_space=pltpu.VMEM

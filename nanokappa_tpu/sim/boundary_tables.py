@@ -161,23 +161,26 @@ def _correspondence_k(mat: Material, n: np.ndarray) -> np.ndarray:
     active_q, q_near = active_q[in_tol], q_near[in_tol]
 
     delta = np.sqrt(((v.reshape(Q, J, 3) * tol) ** 2).sum(axis=2))  # (Q,J)
-    for qi, qo in zip(active_q, q_near):
-        for j_in in np.nonzero(s_in[qi])[0]:
-            w_in = omega[qi * J + j_in]
-            lo_i = w_in - delta[qi, j_in]
-            hi_i = w_in + delta[qi, j_in]
-            best_j, best_d = -1, np.inf
-            for j_out in np.nonzero(s_out[qo])[0]:
-                w_out = omega[qo * J + j_out]
-                lo_o = w_out - delta[qo, j_out]
-                hi_o = w_out + delta[qo, j_out]
-                if min(hi_i, hi_o) - max(lo_i, lo_o) <= 0:
-                    continue
-                d = abs(w_in - w_out) / max(w_in, 1e-300)
-                if d < best_d:
-                    best_d, best_j = d, j_out
-            if best_j >= 0:
-                corr[qi * J + j_in] = qo * J + best_j
+    # branch-pair overlap test broadcast over all snapped q-pairs at once
+    # ((P, J, J) arrays, ~10 MB at a 31^3 mesh — the round-2 double Python
+    # loop took minutes there); semantics identical to the scalar loop:
+    # omega windows must overlap, outgoing velocity required, best = minimum
+    # relative |d_omega| with ties to the lowest branch index
+    w2 = omega.reshape(Q, J)
+    wi = w2[active_q][:, :, None]  # (P, J, 1) incoming
+    wo = w2[q_near][:, None, :]  # (P, 1, J) outgoing
+    di = delta[active_q][:, :, None]
+    do = delta[q_near][:, None, :]
+    overlap = (
+        np.minimum(wi + di, wo + do) - np.maximum(wi - di, wo - do) > 0
+    )
+    valid = overlap & s_in[active_q][:, :, None] & s_out[q_near][:, None, :]
+    rel = np.abs(wi - wo) / np.maximum(wi, 1e-300)
+    rel = np.where(valid, rel, np.inf)
+    best_j = np.argmin(rel, axis=2)  # (P, J)
+    has = np.isfinite(np.take_along_axis(rel, best_j[:, :, None], 2)[:, :, 0])
+    qi_g, j_in_g = np.nonzero(has)
+    corr[active_q[qi_g] * J + j_in_g] = q_near[qi_g] * J + best_j[has]
     return corr
 
 

@@ -143,8 +143,8 @@ def run_cascade(
     axis_name: str | tuple | None = None,
 ) -> SimState:
     from nanokappa_tpu.sim.state import (
-        C_ALIVE, C_CF, C_DEV, C_MODE, C_OMEGA, C_ONF, C_POS, C_REM, C_TAU,
-        C_TCOLL, C_VEL,
+        C_ALIVE, C_CF, C_DEV, C_MODE, C_OMEGA, C_ONF, C_POS, C_REM, C_SV,
+        C_TAU, C_TCOLL, C_VEL,
     )
 
     dt = params.dt
@@ -217,6 +217,7 @@ def run_cascade(
             state.packed[:, C_ONF][:, None],
             rem_after[:, None],
             state.packed[:, C_ALIVE][:, None],
+            state.packed[:, C_SV][:, None],
         ],
         axis=1,
     )
@@ -234,6 +235,80 @@ def run_cascade(
     # where 0 * NaN poisons every segment's flux columns
     rows = jnp.take(packed, pidx, axis=0, indices_are_sorted=True, mode="clip")
 
+    rows_out, ledger, lost, frozen2 = run_event_buffer(
+        rows, vbuf, geo, mat, btab, params, key, state.T_sv, R8, pvary
+    )
+    buf_alive = rows_out[:, C_ALIVE] > 0.5
+    frozen_total = frozen + frozen2 + still_stale.sum(dtype=jnp.int32)
+
+    # pidx ascending + unique (sentinel N lanes drop out of bounds)
+    merged = _merge_rows(packed, rows_out, pidx)
+
+    # push freed slots (absorbed / defective / stuck lanes) onto the free list
+    freed = vbuf & ~buf_alive
+    frank = jnp.cumsum(freed) - 1  # buffer-sized
+    n_freed = freed.sum(dtype=jnp.int32)
+    fc0 = state.free_count[0]
+    fidx = jnp.where(freed, fc0 + frank, N)
+    free_list = state.free_list.at[fidx].set(
+        pidx, mode="drop", unique_indices=True
+    )
+    free_count = state.free_count.at[0].add(n_freed)
+
+    ledger = psum(ledger)
+    new_state = SimState(
+        packed=merged,
+        sv_id=state.sv_id,
+        T_sv=state.T_sv,
+        Np_sv=state.Np_sv,
+        free_list=free_list,
+        free_count=free_count,
+        res_counter=state.res_counter,
+        n_leaving=ledger[:R, 4].astype(jnp.int32),
+        res_energy_balance=state.res_energy_balance - ledger[:R, 0],
+        res_heat_flux=state.res_heat_flux + ledger[:R, 1:4],
+        lost=state.lost + psum(lost),
+        frozen=state.frozen + psum(frozen_total),
+        key=state.key,
+        step=state.step,
+    )
+    return new_state
+
+
+def run_event_buffer(
+    rows: jax.Array,  # (E,16) packed rows of pending-event particles
+    vbuf: jax.Array,  # (E,) validity mask (False = padding/sentinel lane)
+    geo: DeviceGeometry,
+    mat: MaterialTables,
+    btab: BoundaryTables,
+    params: SimParams,
+    key: jax.Array,
+    T_sv: jax.Array,
+    R8: int,
+    pvary=lambda x: x,
+):
+    """The boundary-event machinery on a fixed-width buffer of packed rows.
+
+    Shared by the v1 cascade (rows gathered by stream compaction) and the
+    fused v2 step (rows from the drift kernel's aligned segments). Lanes
+    enter sitting on facet C_CF with C_REM > 0; runs one full-width round,
+    then re-compacts the few survivors into a narrow buffer for the bounded
+    while-loop (reference `while np.any(calculated_ts < 1)`,
+    classes/Population.py:1546-1683).
+
+    Returns (rows_out (E,16) with C_ALIVE updated, ledger (R8,5),
+    lost (stuck + defective), frozen (narrow-buffer overflow)).
+    """
+    from nanokappa_tpu.sim.state import (
+        C_ALIVE, C_CF, C_DEV, C_MODE, C_OMEGA, C_ONF, C_POS, C_REM, C_SV,
+        C_TAU, C_TCOLL, C_VEL,
+    )
+
+    E = rows.shape[0]
+    f32 = jnp.float32
+    bc32 = lambda a: jax.lax.bitcast_convert_type(a, f32)  # noqa: E731
+    i32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
+
     buf = _Buf(
         pos=rows[:, C_POS],
         mode=i32(rows[:, C_MODE]),
@@ -242,7 +317,7 @@ def run_cascade(
         tau=rows[:, C_TAU],
         dev=rows[:, C_DEV],
         alive=vbuf,
-        t_coll=pvary(jnp.zeros(EVT_CAP, dtype=jnp.float32)),
+        t_coll=pvary(jnp.zeros(E, dtype=jnp.float32)),
         coll_facet=jnp.where(vbuf, i32(rows[:, C_CF]), -1),
         on_facet=i32(rows[:, C_ONF]),
         remaining=jnp.where(vbuf, rows[:, C_REM], 0.0),
@@ -254,7 +329,7 @@ def run_cascade(
 
     body = partial(
         _event_round, geo=geo, mat=mat, btab=btab, params=params, R8=R8,
-        T_sv=state.T_sv,
+        T_sv=T_sv,
     )
 
     # ---- round 1 at full buffer width; most events finish here ---------------
@@ -262,13 +337,13 @@ def run_cascade(
 
     # ---- rounds 2+ on a re-compacted narrow buffer (survivors are few: a
     # particle only continues if it hit ANOTHER wall within the same dt —
-    # measured ~0.05% of N on the film config, so EVT_CAP/32 leaves ~5x
-    # headroom; overflow lanes freeze harmlessly until the next step and are
-    # counted in `frozen`) ----------------------------------------------------
-    EVT2 = _pad8(max(EVT_CAP // 32, 256))
+    # measured ~0.05% of N on the film config, so E/32 leaves ~5x headroom;
+    # overflow lanes freeze harmlessly until the next step and are counted in
+    # `frozen`) ----------------------------------------------------------------
+    EVT2 = _pad8(max(E // 32, 256))
     surv = buf1.alive & (buf1.remaining > _REMAIN_EPS)
     sidx2, n2 = _compact(surv, EVT2)
-    frozen2 = surv.sum(dtype=jnp.int32) - n2  # overflow: stay alive, path frozen
+    frozen2 = surv.sum(dtype=jnp.int32) - n2  # overflow: stay alive, frozen
     lane2 = jnp.arange(EVT2, dtype=jnp.int32)
     v2 = lane2 < n2
 
@@ -303,89 +378,55 @@ def run_cascade(
 
     out2 = jax.lax.while_loop(cond, body, buf2)
 
-    # merge the narrow buffer back into the round-1 buffer (sidx2 ascending
-    # and unique; sentinel lanes are out of bounds -> dropped)
-    def put2(full, bufval):
-        return full.at[sidx2].set(
-            bufval, mode="drop", indices_are_sorted=True, unique_indices=True
-        )
-
-    out = buf1._replace(
-        pos=put2(buf1.pos, out2.pos),
-        mode=put2(buf1.mode, out2.mode),
-        vel=put2(buf1.vel, out2.vel),
-        omega=put2(buf1.omega, out2.omega),
-        tau=put2(buf1.tau, out2.tau),
-        dev=put2(buf1.dev, out2.dev),
-        alive=put2(buf1.alive, out2.alive),
-        t_coll=put2(buf1.t_coll, out2.t_coll),
-        coll_facet=put2(buf1.coll_facet, out2.coll_facet),
-        remaining=put2(buf1.remaining, out2.remaining),
-        ledger=out2.ledger,
-        lost=out2.lost,
-    )
-
-    # stuck after k_max rounds: quarantine (reference indexes_del_extra,
-    # classes/Population.py:1553,1572). Frozen-overflow and stale-raycast
-    # lanes stay ALIVE with their event pending for the next step — they are
-    # telemetered separately (`frozen`) so an evt_cap overflow storm is not
-    # misread as population loss.
-    stuck = out.alive & (out.remaining > _REMAIN_EPS) & put2(
-        jnp.zeros(EVT_CAP, bool), v2
-    )
-    buf_alive = out.alive & ~stuck
-    lost = out.lost + stuck.sum(dtype=jnp.int32)
-    frozen_total = frozen + frozen2 + still_stale.sum(dtype=jnp.int32)
-
-    # ---- scatter buffer back (one coalesced row scatter) ------------------------
+    # ---- merge narrow results as ONE row scatter into the wide rows ---------
+    # (replaces 10 per-field column scatters — XLA serialises each scatter,
+    # ~0.5 ms/step at EVT2=2048 measured in the round-2 trace)
+    sv_bits = rows[:, C_SV]
     rows_out = jnp.concatenate(
         [
-            out.pos,  # C_POS
-            out.vel,  # C_VEL
-            out.omega[:, None],
-            out.tau[:, None],
-            out.dev[:, None],
-            bc32(out.mode)[:, None],
-            bc32(out.coll_facet)[:, None],
-            out.t_coll[:, None],
-            bc32(out.on_facet)[:, None],
-            out.remaining[:, None],  # leftover (~0 for finished events)
-            buf_alive.astype(f32)[:, None],  # C_ALIVE rides the row scatter
+            buf1.pos,  # C_POS
+            buf1.vel,  # C_VEL
+            buf1.omega[:, None],
+            buf1.tau[:, None],
+            buf1.dev[:, None],
+            bc32(buf1.mode)[:, None],
+            bc32(buf1.coll_facet)[:, None],
+            buf1.t_coll[:, None],
+            bc32(buf1.on_facet)[:, None],
+            buf1.remaining[:, None],  # leftover (~0 for finished events)
+            buf1.alive.astype(f32)[:, None],
+            sv_bits[:, None],  # refreshed by the binning pass
         ],
         axis=1,
-    )  # (EVT, N_COLS)
-    # pidx ascending + unique (sentinel N lanes drop out of bounds)
-    merged = _merge_rows(packed, rows_out, pidx)
+    )  # (E, N_COLS)
 
-    # push freed slots (absorbed / defective / stuck lanes) onto the free list
-    freed = vbuf & ~buf_alive
-    frank = jnp.cumsum(freed) - 1  # buffer-sized
-    n_freed = freed.sum(dtype=jnp.int32)
-    fc0 = state.free_count[0]
-    fidx = jnp.where(freed, fc0 + frank, N)
-    free_list = state.free_list.at[fidx].set(
-        pidx, mode="drop", unique_indices=True
+    # stuck after k_max rounds: quarantine (reference indexes_del_extra,
+    # classes/Population.py:1553,1572)
+    stuck2 = out2.alive & (out2.remaining > _REMAIN_EPS)
+    alive2 = out2.alive & ~stuck2
+    lost = out2.lost + stuck2.sum(dtype=jnp.int32)
+    rows2 = jnp.concatenate(
+        [
+            out2.pos,
+            out2.vel,
+            out2.omega[:, None],
+            out2.tau[:, None],
+            out2.dev[:, None],
+            bc32(out2.mode)[:, None],
+            bc32(out2.coll_facet)[:, None],
+            out2.t_coll[:, None],
+            bc32(out2.on_facet)[:, None],
+            out2.remaining[:, None],
+            alive2.astype(f32)[:, None],
+            gat2(sv_bits)[:, None],
+        ],
+        axis=1,
+    )  # (EVT2, N_COLS)
+    # sidx2 ascending + unique; sentinel lanes (>= E) drop out of bounds
+    rows_out = rows_out.at[sidx2].set(
+        rows2, mode="drop", indices_are_sorted=True, unique_indices=True
     )
-    free_count = state.free_count.at[0].add(n_freed)
-
-    ledger = psum(out.ledger)
-    new_state = SimState(
-        packed=merged,
-        sv_id=state.sv_id,
-        T_sv=state.T_sv,
-        Np_sv=state.Np_sv,
-        free_list=free_list,
-        free_count=free_count,
-        res_counter=state.res_counter,
-        n_leaving=ledger[:R, 4].astype(jnp.int32),
-        res_energy_balance=state.res_energy_balance - ledger[:R, 0],
-        res_heat_flux=state.res_heat_flux + ledger[:R, 1:4],
-        lost=state.lost + psum(lost),
-        frozen=state.frozen + psum(frozen_total),
-        key=state.key,
-        step=state.step,
-    )
-    return new_state
+    return rows_out, out2.ledger, lost, frozen2
 
 
 def _event_round(

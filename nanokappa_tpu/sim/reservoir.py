@@ -141,31 +141,36 @@ def inject(
         counts = (fixed + extra).astype(jnp.int32).reshape(-1)  # (R*M,)
 
         # per-(r,m) counts above c_max cannot be materialised by the bounded
-        # unrolled loop below — count them into the loss telemetry instead of
-        # silently under-injecting (a coarse mode table at high density can
-        # push enter_prob above c_max)
+        # (c_max, R*M) lattice — count them into the loss telemetry instead
+        # of silently under-injecting (a coarse mode table at high density
+        # can push enter_prob above c_max)
         clipped = jnp.maximum(counts - params.c_max, 0).sum()
-        base = jnp.zeros((), jnp.int32)
-        u = jax.random.uniform(k_dtin, (params.c_max, R * M))
-        for c in range(1, params.c_max + 1):
-            mask = counts >= c
-            if c == 1:
-                frac = frac1.reshape(-1)
-            else:
-                frac = jnp.where(
-                    ep.reshape(-1) > 0, (c - 1 + u[c - 1]) / ep.reshape(-1), 0.0
-                )
-            dtin = jnp.clip(dt * (1.0 - frac), 0.0, dt)
-            ranks = base + jnp.cumsum(mask) - 1
-            write = mask & (ranks < cap)
-            idx = jnp.where(write, ranks, cap)  # cap = trash slot
-            inj_mode = jnp.pad(inj_mode, (0, 1)).at[idx].set(flat_m)[:cap]
-            inj_res = jnp.pad(inj_res, (0, 1)).at[idx].set(flat_r)[:cap]
-            inj_dtin = jnp.pad(inj_dtin, (0, 1)).at[idx].set(dtin.astype(jnp.float32))[:cap]
-            inj_valid = jnp.pad(inj_valid, (0, 1)).at[idx].set(write)[:cap]
-            base = base + mask.sum(dtype=jnp.int32)
-        n_valid = jnp.minimum(base, cap)
-        dropped_inj = jnp.maximum(base - cap, 0) + clipped
+
+        # one stream compaction over the (c_max, R*M) copy lattice replaces
+        # the round-2 implementation's 4 x c_max buffer scatters (~0.4 ms at
+        # 8K width, XLA serialises scatters): lattice lane l = c*RM + rm is
+        # occupied when counts[rm] > c; the fractional arrival-time table is
+        # gathered with the SAME compacted order
+        from nanokappa_tpu.sim.cascade import _compact
+
+        RM = R * M
+        u = jax.random.uniform(k_dtin, (params.c_max, RM))
+        ep_flat = ep.reshape(-1)
+        c_lat = jnp.arange(params.c_max, dtype=jnp.float32)[:, None]
+        frac_lat = jnp.where(
+            ep_flat[None, :] > 0, (c_lat + u) / ep_flat[None, :], 0.0
+        )
+        frac_lat = frac_lat.at[0].set(frac1.reshape(-1))
+        lat_valid = counts[None, :] > jnp.arange(params.c_max)[:, None]
+        order, n_valid = _compact(lat_valid.reshape(-1), cap)
+        rm = jnp.minimum(order % RM, RM - 1)
+        inj_mode = (rm % M).astype(jnp.int32)
+        inj_res = (rm // M).astype(jnp.int32)
+        frac = jnp.take(frac_lat.reshape(-1), order, mode="clip")
+        inj_dtin = jnp.clip(dt * (1.0 - frac), 0.0, dt).astype(jnp.float32)
+        total = counts.sum() - clipped
+        inj_valid = jnp.arange(cap) < n_valid
+        dropped_inj = jnp.maximum(total - n_valid, 0) + clipped
 
     elif params.res_gen == "pooled":
         # O(buffer)-cost generation for production-size mode tables: a SCALAR
@@ -289,6 +294,7 @@ def inject(
             _bc_f32(inj_facet)[:, None],  # C_ONF
             (inj_dtin / dt).astype(jnp.float32)[:, None],  # C_REM
             jnp.ones((cap, 1), jnp.float32),  # C_ALIVE
+            jnp.zeros((cap, 1), jnp.float32),  # C_SV (refreshed at binning)
         ],
         axis=1,
     )

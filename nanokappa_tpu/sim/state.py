@@ -49,13 +49,20 @@ class SimParams:
     n_shards: int = field(metadata=dict(static=True), default=1)  # particle-
     #   axis data parallelism: each shard runs the reservoir process at
     #   rate/n_shards with its own accumulator
+    step_impl: str = field(metadata=dict(static=True), default="auto")
+    #   "auto" picks the fused Pallas step (v2) when the config is eligible
+    #   (axis-aligned box + slice subvolumes + nearest/linear interp) and a
+    #   TPU backend is present; "v1"/"v2" force an implementation ("v2" on
+    #   CPU runs the kernels in interpret mode — tests only)
 
 
 # columns of the packed per-particle state matrix. Keeping every per-particle
-# field in ONE (N, 14) f32 row (ints bitcast) makes the event-buffer traffic
+# field in ONE (N, 16) f32 row (ints bitcast) makes the event-buffer traffic
 # row-shaped: the cascade's buffer fill is one row gather and the merge-back
 # one row scatter, and injection writes one row per new particle — TPU row
 # gathers/scatters amortise ~20x over per-field scalar ones (measured).
+# 16 columns = the exact (16, lanes) sublane tile of the Pallas kernels, so
+# the transposed (C, N) view needs no padding.
 C_POS = slice(0, 3)  # position, angstrom
 C_VEL = slice(3, 6)  # cached group velocity of `mode`, A/ps
 C_OMEGA = 6  # cached angular frequency, rad THz
@@ -71,7 +78,9 @@ C_REM = 13  # remaining fraction of the current dt (injection writes the
 #   keyed on C_CF == STALE)
 C_ALIVE = 14  # 1.0 = alive, 0.0 = dead slot (bool as f32 so the liveness
 #   update rides the same row scatters as everything else)
-N_COLS = 15
+C_SV = 15  # subvolume id (i32 bitcast), refreshed by the binning pass each
+#   step; the fused-kernel step reads it for the deferred RTA temperature
+N_COLS = 16
 
 
 def _bc_f32(a: jax.Array) -> jax.Array:
@@ -160,6 +169,10 @@ class SimState:
     def alive(self) -> jax.Array:
         return self.packed[:, C_ALIVE] > 0.5
 
+    @property
+    def sv_col(self) -> jax.Array:
+        return _bc_i32(self.packed[:, C_SV])
+
 
 def with_cols(state: SimState, **updates) -> SimState:
     """Functional column update: with_cols(state, dev=..., pos=..., step=...).
@@ -171,9 +184,9 @@ def with_cols(state: SimState, **updates) -> SimState:
     cols = {
         "pos": C_POS, "vel": C_VEL, "omega": C_OMEGA, "tau": C_TAU,
         "dev": C_DEV, "mode": C_MODE, "coll_facet": C_CF, "t_coll": C_TCOLL,
-        "on_facet": C_ONF, "remaining": C_REM, "alive": C_ALIVE,
+        "on_facet": C_ONF, "remaining": C_REM, "alive": C_ALIVE, "sv": C_SV,
     }
-    ints = {"mode", "coll_facet", "on_facet"}
+    ints = {"mode", "coll_facet", "on_facet", "sv"}
     p = state.packed
     other = {}
     for k, v in updates.items():
@@ -366,6 +379,7 @@ def init_state(
     packed[:, C_ONF] = np.full(n_cap, -1, np.int32).view(np.float32)
     packed[:, C_REM] = 0.0
     packed[:, C_ALIVE] = alive.astype(np.float32)
+    packed[:, C_SV] = full(sv.astype(np.int32), 0).view(np.float32)
     state = SimState(
         packed=jnp.asarray(packed),
         sv_id=jnp.asarray(full(sv.astype(np.int32), 0)),

@@ -46,7 +46,6 @@ def build(n_particles, mesh_pts, debug_skip="", n_inner=20, **overrides):
         dt=1.0,
         n_cap=int(n_p * 1.25),
         inj_cap=1 << 13,
-        evt_cap=1 << 16,
         temp_interp="nearest",
         particle_density=rho,
         n_active_modes=mat.n_active_modes,

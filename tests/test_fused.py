@@ -1,0 +1,126 @@
+"""Fused (v2) step vs the XLA reference (v1) implementation.
+
+The Pallas kernels run in interpret mode on CPU; the deterministic
+temperature/periodic configuration makes v1 and v2 trajectories identical
+particle-for-particle (injection draws share keys; no reflection
+randomness), so per-step observables must agree to f32 summation order.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from nanokappa_tpu.geometry.device import build_device_geometry
+from nanokappa_tpu.geometry.domain import build_domain
+from nanokappa_tpu.material import synthetic_material
+from nanokappa_tpu.sim.boundary_tables import build_boundary_tables
+from nanokappa_tpu.sim.reservoir import build_reservoir_tables
+from nanokappa_tpu.sim.state import SimParams, init_state, particle_count
+from nanokappa_tpu.sim.step import make_step
+
+
+def _build(bound="TTP", rough=0.0, n_p=3000, impl="v1", n_shards=1):
+    mat = synthetic_material(mesh=(4, 4, 4))
+    if bound == "TTP":
+        bc, bv = ("T", "T", "P"), (302.0, 298.0)
+        bp = ("relative", -0.1, 0.5, 0.5, 1.1, 0.5, 0.5)
+        cp = ("relative", 0.5, -0.1, 0.5, 0.5, 1.1, 0.5,
+              0.5, 0.5, -0.1, 0.5, 0.5, 1.1)
+    else:
+        bc, bv = ("T", "T", "R", "R", "P"), (302.0, 298.0, rough, rough)
+        bp = ("relative", -0.1, 0.5, 0.5, 1.1, 0.5, 0.5,
+              0.5, 0.5, -0.1, 0.5, 0.5, 1.1)
+        cp = ("relative", 0.5, -0.1, 0.5, 0.5, 1.1, 0.5)
+    dom = build_domain(
+        geometry="box", dimensions=(2e3, 1e3, 1e3),
+        subvolumes=("slice", 5, 0),
+        bound_pos=bp, bound_cond=bc, bound_values=bv, connect_pos=cp,
+    )
+    n_p, rho = particle_count(("total", n_p), mat, dom)
+    params = SimParams(
+        dt=1.0, n_cap=4096, inj_cap=512, temp_interp="nearest",
+        particle_density=rho, n_active_modes=mat.n_active_modes,
+        t_reference=300.0, step_impl=impl, n_shards=n_shards,
+    )
+    geo = build_device_geometry(dom)
+    btab = build_boundary_tables(mat, dom)
+    rtab = build_reservoir_tables(mat, dom, 1.0, rho)
+    state = init_state(mat, dom, geo, params, n_p, temp_dist="linear", seed=3)
+    return mat, dom, geo, btab, rtab, params, state
+
+
+def _run(impl, bound="TTP", rough=0.0, n_steps=4):
+    mat, dom, geo, btab, rtab, params, state = _build(bound, rough, impl=impl)
+    step = jax.jit(make_step(geo, mat.device_tables(), btab, rtab, params))
+    outs = []
+    for _ in range(n_steps):
+        state, out = step(state)
+        outs.append(out)
+    return state, outs, (mat, geo, params)
+
+
+def test_v2_matches_v1_deterministic():
+    s1, o1, _ = _run("v1")
+    s2, o2, aux = _run("v2")
+    for k, (a, b) in enumerate(zip(o1, o2)):
+        np.testing.assert_allclose(
+            np.asarray(a.T_sv), np.asarray(b.T_sv), rtol=2e-6,
+            err_msg=f"T_sv step {k}")
+        np.testing.assert_array_equal(
+            np.asarray(a.Np_sv), np.asarray(b.Np_sv), f"Np_sv step {k}")
+        np.testing.assert_allclose(
+            np.asarray(a.E_sv), np.asarray(b.E_sv), rtol=2e-6)
+        np.testing.assert_allclose(
+            np.asarray(a.res_energy_balance),
+            np.asarray(b.res_energy_balance), rtol=3e-4, atol=1e-9)
+        np.testing.assert_array_equal(
+            np.asarray(a.n_leaving), np.asarray(b.n_leaving))
+        assert int(b.lost) == 0 and int(b.frozen) == 0
+
+    # same particle multiset (different slots): finalize applies v2's pending
+    # deferred RTA, after which sorted occupations must match v1's
+    from nanokappa_tpu.sim.fused import make_finalize
+
+    mat, geo, params = aux
+    s2f = make_finalize(geo, mat.device_tables(), params)(s2)
+    d1 = np.sort(np.asarray(s1.dev)[np.asarray(s1.alive)])
+    d2 = np.sort(np.asarray(s2f.dev)[np.asarray(s2f.alive)])
+    assert d1.shape == d2.shape
+    np.testing.assert_allclose(d1, d2, rtol=5e-4, atol=1e-7)
+    p1 = np.sort(np.asarray(s1.pos)[np.asarray(s1.alive)][:, 0])
+    p2 = np.sort(np.asarray(s2f.pos)[np.asarray(s2f.alive)][:, 0])
+    np.testing.assert_allclose(p1, p2, rtol=1e-5, atol=1e-3)
+
+
+def test_v2_diffuse_walls_run():
+    """Diffuse reflections draw per-lane randomness (lane assignment differs
+    from v1), so check invariants instead of equality."""
+    s2, o2, _ = _run("v2", bound="TTRRP", rough=10.0, n_steps=4)
+    last = o2[-1]
+    assert int(last.lost) == 0
+    T = np.asarray(last.T_sv)
+    assert np.all(T > 290) and np.all(T < 310)
+    assert abs(int(last.N_p) - 3000) < 200
+    assert np.isfinite(np.asarray(last.phi_sv)).all()
+
+
+def test_v2_sharded_runs():
+    """v2 under shard_map on the virtual CPU mesh: psums + per-shard
+    injection must compose with the Pallas kernels (interpret mode)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    from nanokappa_tpu.parallel import (
+        build_sharded_step, make_particle_mesh, shard_state,
+    )
+
+    mat, dom, geo, btab, rtab, params, state = _build(impl="v2", n_shards=2)
+    mesh = make_particle_mesh(2)
+    state = shard_state(state, mesh)
+    run = build_sharded_step(
+        geo, mat.device_tables(), btab, rtab, params, mesh, n_inner=2
+    )
+    state, out = run(state)
+    T = np.asarray(out.T_sv)
+    assert np.all(T > 290) and np.all(T < 310)
+    assert int(out.lost) == 0
+    assert abs(int(out.N_p) - 3000) < 200
