@@ -25,7 +25,9 @@ def run_config(n_particles: float, mesh_pts: int, res_gen: str):
     from nanokappa_tpu.material import synthetic_material
     from nanokappa_tpu.geometry.domain import build_domain
     from nanokappa_tpu.geometry.device import build_device_geometry
-    from nanokappa_tpu.sim.state import SimParams, init_state, particle_count
+    from nanokappa_tpu.sim.state import (
+    SimParams, init_state, particle_count, round_pool_cap,
+)
     from nanokappa_tpu.sim.boundary_tables import build_boundary_tables
     from nanokappa_tpu.sim.reservoir import build_reservoir_tables
     from nanokappa_tpu.sim.step import build_step
@@ -44,10 +46,14 @@ def run_config(n_particles: float, mesh_pts: int, res_gen: str):
         connect_pos=("relative", 0.5, -0.1, 0.5, 0.5, 1.1, 0.5),
     )
     n_p, rho = particle_count(("total", n_particles), mat, dom)
+    rtab = build_reservoir_tables(mat, dom, 1.0, rho)
+    from nanokappa_tpu.sim.reservoir import autosize_c_max
+
     params = SimParams(
         dt=1.0,
-        n_cap=int(n_p * 1.25),
+        n_cap=round_pool_cap(int(n_p * 1.25)),
         inj_cap=1 << 13,
+        c_max=autosize_c_max(rtab),
         temp_interp="nearest",  # the reference's default interpolation
         res_gen=res_gen,
         particle_density=rho,
@@ -56,7 +62,6 @@ def run_config(n_particles: float, mesh_pts: int, res_gen: str):
     )
     geo = build_device_geometry(dom)
     btab = build_boundary_tables(mat, dom)
-    rtab = build_reservoir_tables(mat, dom, params.dt, rho)
     state = init_state(mat, dom, geo, params, n_p, temp_dist="linear")
     run = build_step(geo, mat.device_tables(), btab, rtab, params, n_inner=20)
 
@@ -103,6 +108,16 @@ def main():
         "value": ups8,
         "unit": "updates/s",
         "vs_baseline": ups8 / BASELINE_UPDATES_PER_S,
+    }), flush=True)
+    # ... scale proof at 1e7 particles on the single chip ((N,16) pool =
+    # 800 MB; headroom documented toward BASELINE config 5, SURVEY.md gate 5)
+    ups1e7, _ = run_config(1e7, 8, "pooled")
+    print(json.dumps({
+        "metric": "phonon-timestep updates/sec/chip (1e7 particles, "
+                  "Si-film-analog, 8^3 table, pooled gen)",
+        "value": ups1e7,
+        "unit": "updates/s",
+        "vs_baseline": ups1e7 / BASELINE_UPDATES_PER_S,
     }), flush=True)
     # ... then the PRODUCTION config as the headline (last line = the one the
     # driver records): the reference Si sample's full 31^3 mesh = 178,746

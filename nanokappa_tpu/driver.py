@@ -140,22 +140,20 @@ class Simulation:
             if str(args.reference_temp[0]) == "local" and len(res_T)
             else (300.0 if str(args.reference_temp[0]) == "local" else float(args.reference_temp[0]))
         )
-        n_cap = int(n_p * float(args.pool_margin[0]))
-        n_cap = -(-n_cap // (8 * n_shards)) * 8 * n_shards
+        from nanokappa_tpu.sim.state import round_pool_cap
+
+        n_cap = round_pool_cap(int(n_p * float(args.pool_margin[0])), n_shards)
         dt = float(args.timestep[0])
         # autosize c_max so the per-(r,m) deterministic generation loop can
         # materialise the highest entry rate (floor(max ep) + 1 fractional);
         # without this a coarse mode table at high particle density would
         # clip injections (now also counted into `lost`)
         self.rtab = build_reservoir_tables(material, self.domain, dt, rho)
-        max_ep = (
-            float(np.max(np.asarray(self.rtab.enter_prob))) / n_shards
-            if self.rtab.n_reservoirs
-            else 0.0
-        )
-        c_max = max(3, int(max_ep) + 1) if str(args.reservoir_gen[0]) in (
-            "constant", "fixed_rate",
-        ) else 3
+        from nanokappa_tpu.sim.reservoir import autosize_c_max
+
+        c_max = autosize_c_max(self.rtab, n_shards) if str(
+            args.reservoir_gen[0]
+        ) in ("constant", "fixed_rate") else 3
         self.params = SimParams(
             dt=dt,
             n_cap=n_cap,

@@ -316,14 +316,18 @@ def _mc_subvol_volume(
         from scipy.stats import qmc as _qmc
 
         sobol = _qmc.Sobol(3, scramble=True, seed=rng)
-    while err.max() > tol and total < 2**22:
+    drawn = 0  # ALL candidates count toward the sample bound: a mesh whose
+    #   interior the Sobol box-samples never hit must still terminate
+    while err.max() > tol and drawn < 2**22:
         if sobol is not None:
             cand = sobol.random(4096) * np.ptp(mesh.bounds, axis=0) + mesh.bounds[0]
+            drawn += len(cand)
             s = cand[mesh.contains(cand)]
             if len(s) == 0:
                 continue
         else:
             s = mesh.sample_volume(4096, rng)
+            drawn += len(s)
         d = np.linalg.norm(s[:, None, :] - centers[None], axis=-1)
         r = np.argmin(d, axis=1)
         counts += np.bincount(r, minlength=n_sv)
@@ -333,6 +337,8 @@ def _mc_subvol_volume(
             err = np.abs((new_cover - cover) / np.where(cover == 0, 1, cover))
             err[new_cover == 0] = 0
         cover = new_cover
+    if total == 0:  # nothing landed inside: fall back to an equal split
+        return np.full(n_sv, mesh.volume / n_sv)
     return cover * mesh.volume
 
 

@@ -1,0 +1,135 @@
+"""Pool defragmentation: pack all alive columns of the (16, N) pool to an
+(almost) dense prefix, once per outer block (~every 10-20 steps).
+
+The v2 step appends reservoir injections at the pool TAIL (a contiguous
+dynamic-update-slice — no scatter) while absorption kills lanes anywhere, so
+the live region grows by inj_cap per step and accumulates holes. This kernel
+restores density so the tail never reaches the pool capacity: per input
+block, the alive columns are compacted in-register (the 16-row monotone
+log-shift network of ops/scatter_rows.py, in the dense flattened order of
+ops/megastep.py) and DMA'd to the block's global alive-prefix offset.
+
+Output offsets are 128-lane aligned per block (computed OUTSIDE from the
+per-block alive counts), so consecutive segments leave < 128 dead filler
+lanes between them — the pool stays >99% dense at production block counts.
+Each block writes a full tile-wide window whose overrun garbage is
+overwritten by the NEXT block's window (TPU grids run sequentially — the same
+trick the drift kernel's event segments used in round 3's first kernel).
+Output lanes past the LAST block's window are never written and carry
+unspecified data; the wrapper rewrites the C_ALIVE row so every lane >= the
+returned tail reads dead, which is the only property downstream kernels rely
+on for unwritten lanes (all physics is alive-masked).
+
+The reference has no analogue (np.delete re-packs implicitly at every event,
+classes/Population.py:832-850); this is the fixed-shape equivalent, amortised
+to ~1/10 steps.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nanokappa_tpu.ops.megastep import (
+    _BIG, _cumsum_flat, _iota_flat, _shift_up, _unflat8, tile_width,
+)
+from nanokappa_tpu.sim.state import C_ALIVE
+
+
+def _kernel(starts_ref, in_ref, out_hbm, scratch, sem, *, cfg):
+    b = pl.program_id(0)
+    # per-attribute 2-D loads (Mosaic cannot slice the sublane dim of a 3-D
+    # ref view, so the 3-D tile is never materialised)
+    vals = [in_ref[c, 0] for c in range(16)]  # 16 x (8, BN8)
+    alive = vals[C_ALIVE] > 0.5
+
+    BN = 8 * alive.shape[-1]
+    p = _iota_flat(alive.shape)
+    c = _cumsum_flat(alive.astype(jnp.int32))
+    count = jnp.sum(alive.astype(jnp.int32))
+    delta = jnp.where(alive, p - (c - 1), _BIG)
+
+    s = 1
+    while s < BN:
+        sh_dlt = _shift_up(delta, s)
+        take = (sh_dlt & s) != 0
+        stay = (delta & s) == 0
+        vals = [jnp.where(take, _shift_up(v, s), v) for v in vals]
+        delta = jnp.where(take, sh_dlt - s, jnp.where(stay, delta, _BIG))
+        s *= 2
+
+    # assemble the (16, BN) flat-order scratch: filler lanes (alignment gaps
+    # + overrun) become DEAD zero rows
+    lane_flat = jax.lax.broadcasted_iota(jnp.int32, (1, BN), 1)
+    keep = lane_flat < count
+    rows = jnp.concatenate(
+        [jnp.where(keep, _unflat8(v), 0.0) for v in vals], axis=0
+    )  # (16, BN)
+    scratch[:, :] = rows
+    off = starts_ref[b]
+    cp = pltpu.make_async_copy(
+        scratch, out_hbm.at[:, pl.ds(pl.multiple_of(off, 128), BN)], sem
+    )
+    cp.start()
+    cp.wait()
+
+
+def compact_pool(packedT: jax.Array, interpret: bool = False, vma=None):
+    """Defragment the (16, N) pool (N % BN == 0). Returns (packedT', tail):
+    all alive columns packed (order-preserving) into [0, tail), < 128 dead
+    filler lanes per source block; lanes >= tail carry a cleared alive row
+    but otherwise stale data."""
+    C, N = packedT.shape
+    bn = tile_width(N)
+    assert C == 16 and bn is not None, (C, N)
+    bn8 = bn // 8
+    nb = N // bn
+
+    alive_row = packedT[C_ALIVE] > 0.5
+    acnt = jnp.sum(
+        alive_row.reshape(nb, bn).astype(jnp.int32), axis=1
+    )  # (nb,)
+    aligned = ((acnt + 127) // 128) * 128
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned)]
+    ).astype(jnp.int32)  # (nb+1,)
+    tail = starts[nb - 1] + acnt[nb - 1]
+
+    pool4 = packedT.reshape(16, nb, 8, bn8)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(
+                (16, 1, 8, bn8), lambda b, *_: (0, b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((16, bn), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kw = dict(vma=frozenset(vma)) if vma else {}
+    out = pl.pallas_call(
+        partial(_kernel, cfg={}),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((16, N), jnp.float32, **kw)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(starts, pool4)[0]
+
+    # stale pre-compaction data survives past the last written window; kill
+    # its alive flags so those lanes are plain dead slots
+    lane = jnp.arange(N, dtype=jnp.int32)
+    out = out.at[C_ALIVE].set(
+        jnp.where(lane < tail, out[C_ALIVE], 0.0)
+    )
+    return out, tail

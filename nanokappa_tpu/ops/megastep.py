@@ -1,9 +1,13 @@
-"""Fused drift mega-kernel: ONE HBM pass over the packed (16, N) state.
+"""Fused drift mega-kernel: ONE dense HBM pass over the packed (16, N) state.
 
-The round-2 step made ~5 full-width passes per timestep (drift rebuild,
-event-mask compaction, binning, RTA, stale-raycast scatters) plus an XLA
-assembly pipeline costing ~2.5 ms at N=1e6. This kernel replaces all of them
-with a single tiled pass; per (16, 16384) tile, entirely in VMEM:
+The round-2 step made ~5 full-width passes per timestep plus an XLA assembly
+pipeline; the first round-3 kernel fused them but ran every vector op on
+(1, BN) rows — one valid sublane out of eight, so the VPU worked at 1/8
+utilisation (measured 2.4 ms of a 7.0 ms step at N=1.25e6). This version
+processes each block as a dense (16, 8, BN8) tile: the pool is VIEWED as
+(16, nb, 8, BN8) outside (a free row-major reshape), so the DMA delivers
+each attribute as a fully-packed (8, BN8) vector register file and every
+elementwise op runs at full sublane occupancy. Per tile, entirely in VMEM:
 
   1. deferred RTA relaxation — the previous step's lifetime scattering
      (reference classes/Population.py:1701-1710) applied at the START of the
@@ -19,18 +23,21 @@ with a single tiled pass; per (16, 16384) tile, entirely in VMEM:
      arithmetic for a box; the energy/flux ledger accumulates on the MXU at
      Precision.HIGHEST,
   5. compaction of the still-pending events (reflections and deep chains)
-     into aligned segments of a global event index buffer: only the (1, BN)
-     lane-index row moves through the LSB-first log-shift network
-     (ops/compact.py's trick), then one XLA row gather pulls the event ROWS —
-     the expensive 16-row compaction network never runs,
-  6. compaction of dead-slot indices for next step's injection allocator
-     (replaces the persistent free-list push scatters).
+     into this block's PRIVATE slot of a (nb, 8, BN8) index buffer — written
+     as a normal blocked Pallas output, no manual DMA, no cross-block SMEM
+     chaining. A block can never overflow its slot (it holds BN entries =
+     the whole tile), so overflow/freeze accounting moves OUTSIDE to the
+     global event-capacity clamp in sim/fused.py.
 
-Sequential-grid trick: each block DMAs a full static BN-wide window of its
-compacted indices at its dynamic aligned offset; the overrun garbage past a
-segment's aligned end is overwritten by the NEXT block's window (TPU grids
-run sequentially), so segments stay densely packed with only sub-128-lane
-padding. SMEM scratch carries the running offsets across blocks.
+Index compaction runs in FLATTENED order p = r * BN8 + l over the dense
+(8, BN8) registers: shifts by s < BN8 are a lane roll plus a one-row sublane
+carry (3 ops), shifts by multiples of BN8 are pure sublane rolls (1 op) —
+the same monotone log-shift network as ops/compact.py, at 8x the lane
+occupancy of the (1, BN) formulation.
+
+Dead slots are no longer scanned at all: sim/fused.py appends injections at
+the pool TAIL and re-compacts the pool once per outer block
+(ops/compact_pool.py), so the kernel only reports per-block alive counts.
 """
 
 from __future__ import annotations
@@ -49,56 +56,114 @@ from nanokappa_tpu.sim.state import (
     C_TCOLL, STALE,
 )
 
-BN = 16384  # lanes per tile; (16, BN) f32 = 1 MB VMEM
+BN = 16384  # particles per tile; (16, 8, BN8) f32 = 1 MB VMEM
+BN8 = BN // 8  # lanes per sublane row of the dense tile
 _BIG = 1 << 30
 _SENT = 1 << 29  # sentinel index for padding lanes (>= any real N)
 _REMAIN_EPS = 1e-5
 _T_BACK_DT = -1e-4  # ops/raycast.py:33, in ps
 
-
-def _iota_lane():
-    return jax.lax.broadcasted_iota(jnp.int32, (1, BN), 1)
+SH = (8, BN8)  # the dense per-attribute register shape at full tile width
 
 
-def _cumsum_lanes(x):
-    """Inclusive cumsum of an (1, BN) i32 row (Hillis-Steele over lanes)."""
-    lane = _iota_lane()
+def tile_width(n: int) -> int | None:
+    """Kernel tile width for an n-wide pool, or None if unsupported.
+
+    Pools >= BN use BN-wide tiles (n % BN == 0 required); smaller pools run
+    a single tile of their own width, which must be a power of two >= 1024
+    (the log-shift networks need power-of-two shifts; the (8, bn/8) register
+    shape needs bn/8 to be a multiple of the 128-lane vector width)."""
+    if n >= BN:
+        return BN if n % BN == 0 else None
+    if n >= 1024 and (n & (n - 1)) == 0:
+        return n
+    return None
+
+
+def _iota_flat(sh):
+    r = jax.lax.broadcasted_iota(jnp.int32, sh, 0)
+    l = jax.lax.broadcasted_iota(jnp.int32, sh, 1)
+    return r * sh[1] + l
+
+
+def _shift_down(x, s):
+    """out[p] = in[p - s] in flattened order (wrapping; callers mask)."""
+    bn8 = x.shape[-1]
+    if s % bn8 == 0:
+        return pltpu.roll(x, s // bn8, axis=0)
+    rolled = pltpu.roll(x, s, axis=1)
+    carry = pltpu.roll(rolled, 1, axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane < s, carry, rolled)
+
+
+def _shift_up(x, s):
+    """out[p] = in[p + s] in flattened order (wrapping; callers mask)."""
+    bn8 = x.shape[-1]
+    if s % bn8 == 0:
+        return pltpu.roll(x, 8 - s // bn8, axis=0)
+    rolled = pltpu.roll(x, bn8 - s, axis=1)
+    carry = pltpu.roll(rolled, 8 - 1, axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane >= bn8 - s, carry, rolled)
+
+
+def _cumsum_flat(x):
+    """Inclusive cumsum of an (8, bn8) i32 tile in flattened order
+    (Hillis-Steele over the log-shift ladder)."""
+    bn = 8 * x.shape[-1]
+    p = _iota_flat(x.shape)
     c = x
     s = 1
-    while s < BN:
-        c = c + jnp.where(lane >= s, pltpu.roll(c, s, axis=1), 0)
+    while s < bn:
+        c = c + jnp.where(p >= s, _shift_down(c, s), 0)
         s *= 2
     return c
 
 
-def _compact_row(mask, values, fill):
-    """Pack `values` at True lanes of `mask` to the front of the row
-    (LSB-first log-shift network, ops/compact.py:36-65). Returns
-    (packed (1, BN), count scalar)."""
-    lane = _iota_lane()
-    c = _cumsum_lanes(mask.astype(jnp.int32))
+def _compact_flat(mask, values, fill):
+    """Pack `values` at True positions of `mask` to the front of the tile in
+    flattened order (LSB-first log-shift network, ops/compact.py:36-65).
+    Returns (packed (8, bn8), count scalar)."""
+    BN = 8 * mask.shape[-1]
+    p = _iota_flat(mask.shape)
+    c = _cumsum_flat(mask.astype(jnp.int32))
     count = jnp.sum(mask.astype(jnp.int32))
-    delta = jnp.where(mask, lane - (c - 1), _BIG)
+    delta = jnp.where(mask, p - (c - 1), _BIG)
     val = values
     s = 1
     while s < BN:
-        sh_val = pltpu.roll(val, BN - s, axis=1)  # left-roll by s
-        sh_dlt = pltpu.roll(delta, BN - s, axis=1)
+        sh_val = _shift_up(val, s)
+        sh_dlt = _shift_up(delta, s)
         take = (sh_dlt & s) != 0
         stay = (delta & s) == 0
         val = jnp.where(take, sh_val, val)
         delta = jnp.where(take, sh_dlt - s, jnp.where(stay, delta, _BIG))
         s *= 2
-    packed = jnp.where(lane < count, val, fill)
+    packed = jnp.where(p < count, val, fill)
     return packed, count
+
+
+def _unflat8(x):
+    """(8, BN8) -> (1, BN) in flattened order (for the narrow MXU ledger).
+
+    Each row is rotated to sublane 0 BEFORE the row-0 slice: Mosaic's lane
+    concat requires every input at the same sublane offset, and a plain
+    x[r:r+1] slice keeps its in-register offset r."""
+    rows = []
+    for r in range(8):
+        xr = x if r == 0 else pltpu.roll(x, 8 - r, axis=0)
+        rows.append(xr[0:1, :])
+    return jnp.concatenate(rows, axis=1)
 
 
 def _box_raycast(pos, vel, exclude, tables, do):
     """In-register axis-aligned box ray cast (ops/raycast.py:50-69 semantics,
-    unrolled over the static facet tables). pos/vel: 3x(1,BN); exclude (1,BN)
-    i32; `do` masks the lanes that need a cast. Returns (t ps, facet)."""
-    best_t = jnp.full((1, BN), jnp.inf, jnp.float32)
-    best_f = jnp.full((1, BN), -1, jnp.int32)
+    unrolled over the static facet tables). pos/vel: 3x(8,bn8); exclude
+    (8,bn8) i32; `do` masks the lanes that need a cast. Returns (t ps, facet)."""
+    sh = pos[0].shape
+    best_t = jnp.full(sh, jnp.inf, jnp.float32)
+    best_f = jnp.full(sh, -1, jnp.int32)
     for f in range(tables["F"]):
         a = int(tables["axis"][f])
         sgn = float(tables["sign"][f])
@@ -116,20 +181,14 @@ def _box_raycast(pos, vel, exclude, tables, do):
 
 
 def _kernel(
-    tsv_ref,  # (1, SVP) f32 subvolume temperatures (padded)
+    tsv_ref,  # (1, SVP) f32 SMEM subvolume temperatures (padded)
     rta_ref,  # (1, 1) i32 SMEM: apply deferred RTA this step?
-    in_ref,  # (16, BN) packed tile
-    out_ref,  # (16, BN) drifted tile
-    evt_hbm,  # (1, EVT_CAP + BN) i32 event slot indices (ANY)
-    dead_hbm,  # (1, DEAD_CAP + BN) i32 dead slot indices (ANY)
-    seg_ref,  # (4, nb + 1) i32 SMEM: evt start/count, dead start/count
+    in_ref,  # (16, 1, 8, BN8) packed tile
+    out_ref,  # (16, 1, 8, BN8) drifted tile
+    evt_ref,  # (1, 8, BN8) i32: this block's event slot
+    cnt_ref,  # (nb, 8) i32 SMEM (whole array): [evt_count, alive_count, ...]
     ledger_ref,  # (8, 128) f32 reservoir ledger [e, fx, fy, fz, count]
-    stats_ref,  # (8,) i32 SMEM: [frozen, end_evt, end_dead]
-    scratch_i,  # (1, BN) i32 VMEM staging for index DMA
-    scratch_d,  # (1, BN) i32 VMEM staging for dead DMA
     acc_ref,  # (8, 128) f32 VMEM ledger accumulator
-    sem_e,
-    sem_d,
     *,
     tables: dict,
     cfg: dict,
@@ -138,43 +197,40 @@ def _kernel(
     nb = pl.num_programs(0)
     dt = cfg["dt"]
     t_ref = cfg["t_reference"]
-    N = cfg["n_cap"]
-    EVT_CAP = cfg["evt_cap"]
-    DEAD_CAP = cfg["dead_cap"]
     R8 = 8
+    BN = cfg["bn"]  # tile width (shadows the module default)
+    SH = (8, BN // 8)
 
     @pl.when(b == 0)
     def _init():
-        stats_ref[0] = 0  # frozen
-        seg_ref[0, 0] = 0
-        seg_ref[2, 0] = 0
         acc_ref[:, :] = jnp.zeros((8, 128), jnp.float32)
 
-    lane = _iota_lane()
-    gidx = b * BN + lane
-    in_pool = gidx < N
+    gidx = b * BN + _iota_flat(SH)
+    in_pool = gidx < cfg["n_real"]
 
-    tile = in_ref[:, :]
+    # per-attribute 2-D loads: indexing the two leading (untiled) block dims
+    # yields dense (8, BN8) values — Mosaic cannot lower 3-D ref views whose
+    # sublane dim gets sliced, so the kernel never materialises the 3-D tile
     f32 = jnp.float32
     i32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
     bc32 = lambda a: jax.lax.bitcast_convert_type(a, f32)  # noqa: E731
 
-    px = tile[0:1, :]
-    py = tile[1:2, :]
-    pz = tile[2:3, :]
-    vx = tile[3:4, :]
-    vy = tile[4:5, :]
-    vz = tile[5:6, :]
-    omega = tile[C_OMEGA:C_OMEGA + 1, :]
-    tau = tile[C_TAU:C_TAU + 1, :]
-    dev = tile[C_DEV:C_DEV + 1, :]
-    mode_b = tile[C_MODE:C_MODE + 1, :]  # opaque bits, passed through
-    cf = i32(tile[C_CF:C_CF + 1, :])
-    t_coll = tile[C_TCOLL:C_TCOLL + 1, :]
-    onf = i32(tile[C_ONF:C_ONF + 1, :])
-    rem_col = tile[C_REM:C_REM + 1, :]
-    alive = (tile[C_ALIVE:C_ALIVE + 1, :] > 0.5) & in_pool
-    sv = i32(tile[C_SV:C_SV + 1, :])
+    px = in_ref[0, 0]
+    py = in_ref[1, 0]
+    pz = in_ref[2, 0]
+    vx = in_ref[3, 0]
+    vy = in_ref[4, 0]
+    vz = in_ref[5, 0]
+    omega = in_ref[C_OMEGA, 0]
+    tau = in_ref[C_TAU, 0]
+    dev = in_ref[C_DEV, 0]
+    mode_b = in_ref[C_MODE, 0]  # opaque bits, passed through
+    cf = i32(in_ref[C_CF, 0])
+    t_coll = in_ref[C_TCOLL, 0]
+    onf = i32(in_ref[C_ONF, 0])
+    rem_col = in_ref[C_REM, 0]
+    alive = (in_ref[C_ALIVE, 0] > 0.5) & in_pool
+    sv = i32(in_ref[C_SV, 0])
 
     # remaining dt fraction: frozen lanes resume their leftover, fresh
     # injections carry dt_in/dt, everyone else gets a full step
@@ -196,15 +252,15 @@ def _kernel(
         ilo = jnp.clip(fpos.astype(jnp.int32), 0, SV - 2)
         ilo = jnp.where(fpos < 0, 0, ilo)
         w = fpos - ilo.astype(f32)
-        T_lo = jnp.zeros((1, BN), f32)
-        T_hi = jnp.zeros((1, BN), f32)
+        T_lo = jnp.zeros(SH, f32)
+        T_hi = jnp.zeros(SH, f32)
         for s in range(SV):
             tv = tsv_ref[0, s]
             T_lo = jnp.where(ilo == s, tv, T_lo)
             T_hi = jnp.where(ilo + 1 == s, tv, T_hi)
         T_p = T_lo * (1.0 - w) + T_hi * w
     else:  # nearest
-        T_p = jnp.zeros((1, BN), f32)
+        T_p = jnp.zeros(SH, f32)
         for s in range(SV):
             T_p = jnp.where(sv_c == s, tsv_ref[0, s], T_p)
 
@@ -229,46 +285,57 @@ def _kernel(
     rem = jnp.where(alive, jnp.maximum(rem - sf, 0.0), 0.0)
 
     # ---- 4. in-kernel periodic / absorb rounds -----------------------------
-    led_e = jnp.zeros((1, BN), f32)
-    led_fx = jnp.zeros((1, BN), f32)
-    led_fy = jnp.zeros((1, BN), f32)
-    led_fz = jnp.zeros((1, BN), f32)
-    led_n = jnp.zeros((1, BN), f32)
-    led_seg = jnp.full((1, BN), R8 - 1, jnp.int32)
+    led_e = jnp.zeros(SH, f32)
+    led_fx = jnp.zeros(SH, f32)
+    led_fy = jnp.zeros(SH, f32)
+    led_fz = jnp.zeros(SH, f32)
+    led_n = jnp.zeros(SH, f32)
+    led_seg = jnp.full(SH, R8 - 1, jnp.int32)
 
     F = tables["F"]
+    abs_facets = [f for f in range(F) if tables["is_absorb"][f]]
+    per_facets = [f for f in range(F) if tables["is_periodic"][f]]
     for _round in range(cfg["u_rounds"]):
         pend = alive & (rem > _REMAIN_EPS) & (cf >= 0) & (t_coll <= 1e-9)
 
-        # facet properties by static unroll
-        is_abs = jnp.zeros((1, BN), bool)
-        is_per = jnp.zeros((1, BN), bool)
-        T_res = jnp.zeros((1, BN), f32)
-        res_id = jnp.zeros((1, BN), jnp.int32)
-        shx = jnp.zeros((1, BN), f32)
-        shy = jnp.zeros((1, BN), f32)
-        shz = jnp.zeros((1, BN), f32)
-        pair = jnp.full((1, BN), -1, jnp.int32)
-        nx = jnp.zeros((1, BN), f32)
-        ny = jnp.zeros((1, BN), f32)
-        nz = jnp.zeros((1, BN), f32)
-        for f in range(F):
+        # facet properties by static unroll over only the relevant facets,
+        # skipping statically-zero table components (a box wall's normal and
+        # a periodic pair's shift have one nonzero component each)
+        is_abs = jnp.zeros(SH, bool)
+        is_per = jnp.zeros(SH, bool)
+        T_res = jnp.zeros(SH, f32)
+        res_id = jnp.zeros(SH, jnp.int32)
+        shx = jnp.zeros(SH, f32)
+        shy = jnp.zeros(SH, f32)
+        shz = jnp.zeros(SH, f32)
+        pair = jnp.full(SH, -1, jnp.int32)
+        nx = jnp.zeros(SH, f32)
+        ny = jnp.zeros(SH, f32)
+        nz = jnp.zeros(SH, f32)
+        for f in abs_facets:
             sel = cf == f
-            if tables["is_absorb"][f]:
-                is_abs = is_abs | sel
-                T_res = jnp.where(sel, float(tables["value"][f]), T_res)
+            is_abs = is_abs | sel
+            T_res = jnp.where(sel, float(tables["value"][f]), T_res)
+            if int(tables["res"][f]) != 0:
                 res_id = jnp.where(sel, int(tables["res"][f]), res_id)
-                nrm = tables["normal"][f]
+            nrm = tables["normal"][f]
+            if abs(float(nrm[0])) > 1e-12:
                 nx = jnp.where(sel, float(nrm[0]), nx)
+            if abs(float(nrm[1])) > 1e-12:
                 ny = jnp.where(sel, float(nrm[1]), ny)
+            if abs(float(nrm[2])) > 1e-12:
                 nz = jnp.where(sel, float(nrm[2]), nz)
-            if tables["is_periodic"][f]:
-                is_per = is_per | sel
-                sh = tables["shift"][f]
+        for f in per_facets:
+            sel = cf == f
+            is_per = is_per | sel
+            sh = tables["shift"][f]
+            if abs(float(sh[0])) > 1e-12:
                 shx = jnp.where(sel, float(sh[0]), shx)
+            if abs(float(sh[1])) > 1e-12:
                 shy = jnp.where(sel, float(sh[1]), shy)
+            if abs(float(sh[2])) > 1e-12:
                 shz = jnp.where(sel, float(sh[2]), shz)
-                pair = jnp.where(sel, int(tables["pair"][f]), pair)
+            pair = jnp.where(sel, int(tables["pair"][f]), pair)
 
         # absorption (reference Population.py:1565-1608 ledger semantics,
         # incl. the grazing-incidence obliquity clamp of sim/cascade.py)
@@ -305,12 +372,18 @@ def _kernel(
         t_coll = t_coll - sf
         rem = jnp.where(per, jnp.maximum(rem - sf, 0.0), rem)
 
-    # MXU ledger reduction (exact f32: Precision.HIGHEST)
+    # MXU ledger reduction (exact f32: Precision.HIGHEST); the narrow rows
+    # are unflattened to (1, BN) so the dot stays a proven 2-D contraction
     if cfg["n_reservoirs"] > 0:
+        seg_row = _unflat8(led_seg)
         oh = (
-            led_seg == jax.lax.broadcasted_iota(jnp.int32, (R8, BN), 0)
+            seg_row == jax.lax.broadcasted_iota(jnp.int32, (R8, BN), 0)
         ).astype(f32)
-        vals = jnp.concatenate([led_e, led_fx, led_fy, led_fz, led_n], axis=0)
+        vals = jnp.concatenate(
+            [_unflat8(led_e), _unflat8(led_fx), _unflat8(led_fy),
+             _unflat8(led_fz), _unflat8(led_n)],
+            axis=0,
+        )
         led = jax.lax.dot_general(
             oh, vals, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -320,98 +393,51 @@ def _kernel(
             [led, jnp.zeros((R8, 128 - 5), jnp.float32)], axis=1
         )
 
-    # ---- 5. pending events -> aligned index segments -----------------------
+    # ---- 5. pending events -> this block's private index slot -------------
     pend = alive & (rem > _REMAIN_EPS) & (cf >= 0) & (t_coll <= 1e-9)
-    evt_packed, evt_cnt = _compact_row(pend, gidx, _SENT)
-    ea = seg_ref[0, b]  # running aligned offset (written by block b-1)
-    seg_ref[1, b] = evt_cnt
-    write_evt = ea < EVT_CAP
+    evt_packed, evt_cnt = _compact_flat(pend, gidx, _SENT)
+    evt_ref[0] = evt_packed
+    cnt_ref[b, 0] = evt_cnt
+    cnt_ref[b, 1] = jnp.sum((alive & in_pool).astype(jnp.int32))
 
-    @pl.when(write_evt)
-    def _dma_evt():
-        scratch_i[:, :] = evt_packed
-        cp = pltpu.make_async_copy(
-            scratch_i,
-            evt_hbm.at[:, pl.ds(pl.multiple_of(ea, 128), BN)],
-            sem_e,
-        )
-        cp.start()
-        cp.wait()
-
-    # lanes that did not make it below EVT_CAP freeze until next step (their
-    # packed rows keep the pending state)
-    wrote = jnp.where(
-        write_evt, jnp.minimum(evt_cnt, EVT_CAP - ea), 0
-    )
-    stats_ref[0] = stats_ref[0] + (evt_cnt - wrote)
-    ea_next = jnp.where(
-        write_evt, ea + ((evt_cnt + 127) // 128) * 128, ea
-    )
-    seg_ref[0, b + 1] = ea_next
-
-    # ---- 6. dead slots for next step's injection ---------------------------
-    dead = (~alive) & in_pool
-    dead_packed, dead_cnt = _compact_row(dead, gidx, _SENT)
-    da = seg_ref[2, b]
-    seg_ref[3, b] = dead_cnt
-    write_dead = da < DEAD_CAP
-
-    @pl.when(write_dead)
-    def _dma_dead():
-        scratch_d[:, :] = dead_packed
-        cp = pltpu.make_async_copy(
-            scratch_d,
-            dead_hbm.at[:, pl.ds(pl.multiple_of(da, 128), BN)],
-            sem_d,
-        )
-        cp.start()
-        cp.wait()
-
-    da_next = jnp.where(
-        write_dead, da + ((dead_cnt + 127) // 128) * 128, da
-    )
-    seg_ref[2, b + 1] = da_next
-
-    # ---- 7. write the drifted tile -----------------------------------------
-    out = jnp.concatenate(
+    # ---- 6. write the drifted tile (per-attribute 2-D stores) --------------
+    for c, v in enumerate(
         [
             px, py, pz, vx, vy, vz, omega, tau, dev, mode_b,
             bc32(cf), t_coll, bc32(onf), rem,
             jnp.where(alive, 1.0, 0.0),
             bc32(sv),
-        ],
-        axis=0,
-    )
-    out_ref[:, :] = out
+        ]
+    ):
+        out_ref[c, 0] = v
 
     @pl.when(b == nb - 1)
     def _fin():
         ledger_ref[:, :] = acc_ref[:, :]
-        stats_ref[1] = ea_next
-        stats_ref[2] = da_next
 
 
 def drift_megastep(
-    packedT: jax.Array,  # (16, N) f32 transposed packed pool
+    packedT: jax.Array,  # (16, N) f32 transposed packed pool, N % BN == 0
     T_sv: jax.Array,  # (SV,) f32
     rta_on: jax.Array,  # () i32/bool — apply the deferred RTA this step?
     geo,  # DeviceGeometry (host constants are baked in statically)
     params,
-    evt_cap: int,
-    dead_cap: int,
+    n_real: int | None = None,  # real pool width (< N only for pad lanes)
     interpret: bool = False,
     vma=None,
 ):
-    """Returns (packedT', evt_idx (EVT_CAP,) i32, evt_starts (nb+1,),
-    evt_counts (nb,), dead_idx (DEAD_CAP,), dead_starts (nb+1,),
-    dead_counts (nb,), ledger (8,5) f32, frozen ()). Sentinel indices are
-    _SENT (>= any N)."""
+    """Returns (packedT' (16, N), evt_slots (nb * BN,) i32 — block b's
+    ascending event indices at [b*BN, b*BN + counts[b]), sentinel _SENT
+    elsewhere — counts (nb,) i32, alive_counts (nb,) i32, ledger (8, 5) f32).
+    """
     from nanokappa_tpu.constants import HBAR
     from nanokappa_tpu.geometry.domain import BC
 
     C, N = packedT.shape
-    assert C == 16
-    nb = -(-N // BN)
+    bn = tile_width(N)
+    assert C == 16 and bn is not None, (C, N)
+    bn8 = bn // 8
+    nb = N // bn
     SV = int(T_sv.shape[0])
 
     bc_np = np.asarray(geo.facet_bc)
@@ -437,22 +463,25 @@ def drift_megastep(
     cfg = dict(
         dt=float(params.dt),
         t_reference=float(params.t_reference),
-        n_cap=N,
-        evt_cap=evt_cap,
-        dead_cap=dead_cap,
+        n_real=int(n_real if n_real is not None else N),
         n_subvols=SV,
         temp_interp=str(params.temp_interp),
         slice_axis=ax,
         c0=c0,
         dc=dc,
-        u_rounds=2,
+        # ONE in-kernel periodic/absorb round: multi-event chains are rare
+        # (<2% of events) and the XLA buffer handles them generically; a
+        # second unrolled round costs every lane the full facet-select pass
+        u_rounds=1,
         n_reservoirs=int(geo.n_reservoirs),
         hbar=HBAR,
+        bn=bn,
     )
 
     SVP = max(128, -(-SV // 128) * 128)
     tsv = jnp.zeros((1, SVP), jnp.float32).at[0, :SV].set(T_sv)
     rta = jnp.asarray(rta_on, jnp.int32).reshape(1, 1)
+    pool4 = packedT.reshape(16, nb, 8, bn8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -460,22 +489,24 @@ def drift_megastep(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # T_sv: scalar reads
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((16, BN), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (16, 1, 8, bn8), lambda b: (0, b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=[
-            pl.BlockSpec((16, BN), lambda b: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (16, 1, 8, bn8), lambda b: (0, b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, bn8), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # counts: whole array
             pl.BlockSpec((8, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, BN), jnp.int32),
-            pltpu.VMEM((1, BN), jnp.int32),
             pltpu.VMEM((8, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
         ],
     )
     kw = dict(vma=frozenset(vma)) if vma else {}
@@ -483,27 +514,21 @@ def drift_megastep(
         partial(_kernel, tables=tables, cfg=cfg),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((16, nb * BN), jnp.float32, **kw),
-            jax.ShapeDtypeStruct((1, evt_cap + BN), jnp.int32, **kw),
-            jax.ShapeDtypeStruct((1, dead_cap + BN), jnp.int32, **kw),
-            jax.ShapeDtypeStruct((4, nb + 1), jnp.int32, **kw),
+            jax.ShapeDtypeStruct((16, nb, 8, bn8), jnp.float32, **kw),
+            jax.ShapeDtypeStruct((nb, 8, bn8), jnp.int32, **kw),
+            jax.ShapeDtypeStruct((nb, 8), jnp.int32, **kw),
             jax.ShapeDtypeStruct((8, 128), jnp.float32, **kw),
-            jax.ShapeDtypeStruct((8,), jnp.int32, **kw),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(tsv, rta, packedT)
-    packed_out, evt_idx, dead_idx, seg, ledger, stats = outs
+    )(tsv, rta, pool4)
+    pool_out, evt_slots, cnts, ledger = outs
     return (
-        packed_out[:, :N],
-        evt_idx[0, :evt_cap],
-        seg[0],  # evt aligned starts (nb+1)
-        seg[1, :nb],  # evt counts
-        dead_idx[0, :dead_cap],
-        seg[2],  # dead aligned starts
-        seg[3, :nb],  # dead counts
+        pool_out.reshape(16, N),
+        evt_slots.reshape(nb * bn),
+        cnts[:, 0],  # event counts
+        cnts[:, 1],  # alive counts
         ledger[:, :5],
-        stats[0],  # frozen
     )

@@ -1,6 +1,6 @@
 """Pallas sorted-unique row scatter: out = base with base[idx[e], :] <- rows[e, :].
 
-XLA lowers a 65K-row scatter into a (N,14) matrix to a serial per-row update
+XLA lowers a 65K-row scatter into a (N,16) matrix to a serial per-row update
 (~3 ms at N=1.25e6 — the single hottest op of the simulation step). Because
 the cascade's indices are ASCENDING and UNIQUE (they come from stream
 compaction), the scatter partitions over contiguous output blocks: block b

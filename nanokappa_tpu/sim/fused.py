@@ -1,4 +1,4 @@
-"""The fused (v2) timestep: two Pallas HBM passes + a narrow event stage.
+"""The fused (v2) timestep: two dense Pallas HBM passes + a narrow event stage.
 
 Reference semantics preserved (classes/Population.py:1724-1769 run_timestep):
 injection -> drift + boundary cascade -> binning/temperature refresh -> RTA.
@@ -18,11 +18,23 @@ algebraically identical because
 The driver applies the one pending RTA with `make_finalize` before writing
 particle data, so checkpoints match the reference bit-for-bit in ordering.
 
+Inside the inner scan the pool rides TRANSPOSED: state.packed is the
+(16, N) attribute-major matrix (N % ops.megastep.BN == 0), which is the
+layout both Pallas kernels consume — sim/step.py's build_step converts at
+the outer-block boundary only, so no per-step layout transposes remain
+(they cost 0.5 ms/step at N=1.25e6 in the round-3 trace).
+
 Pipeline per step:
-  1. reservoir injection (sim/reservoir.py) writes STALE rows into dead
-     slots taken from the previous kernel pass's dead-slot scan,
+  1. reservoir injection rows (sim/reservoir.py sample_injections) APPEND at
+     the pool tail — one contiguous dynamic-update-slice, replacing the
+     round-3 XLA row scatter into free-list slots (0.78 ms/step: XLA
+     serialises scattered row writes). Deaths leave holes; the pool is
+     re-compacted once per outer block (ops/compact_pool.py), so the tail
+     advances ~inj_cap per step between compactions. The tail pointer lives
+     in state.free_count[0] (the free-list itself is idle in v2).
   2. ops/megastep.py drift kernel: deferred RTA + stale ray cast + drift +
-     in-kernel periodic/absorb + event/dead index compaction (ONE pass),
+     in-kernel periodic/absorb + per-block event-index compaction, all on
+     dense (8, BN8) registers (ONE HBM pass),
   3. the narrow event machinery (sim/cascade.py run_event_buffer) handles
      reflections and deep chains on the gathered event rows,
   4. ops/merge_bin.py merges results back and computes subvolume binning in
@@ -31,6 +43,8 @@ Pipeline per step:
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -41,15 +55,18 @@ from nanokappa_tpu.material.tables import MaterialTables
 from nanokappa_tpu.sim.binning import lookup_E_of_T, lookup_T_of_E
 from nanokappa_tpu.sim.boundary_tables import BoundaryTables
 from nanokappa_tpu.sim.cascade import _pad8, run_event_buffer
-from nanokappa_tpu.sim.reservoir import ReservoirTables, inject
+from nanokappa_tpu.sim.reservoir import ReservoirTables, sample_injections
 from nanokappa_tpu.sim.state import C_SV, SimParams, SimState
 
 
 def v2_eligible(geo: DeviceGeometry, params: SimParams) -> bool:
     """The fused step covers the production envelope: axis-aligned box
-    geometry + slice subvolumes + nearest/linear interpolation. Everything
-    else (imported STL, voronoi/grid subvolumes, radial RBF interpolation,
-    debug ablations) runs the v1 step."""
+    geometry + slice subvolumes + nearest/linear interpolation + a pool
+    capacity aligned to the kernel tile (the driver and bench round n_cap
+    up). Everything else (imported STL, voronoi/grid subvolumes, radial RBF
+    interpolation, debug ablations) runs the v1 step."""
+    from nanokappa_tpu.ops.megastep import tile_width
+
     if params.step_impl == "v1" or params.debug_skip:
         return False
     if not geo.is_box or geo.subvol_type != "slice":
@@ -57,6 +74,11 @@ def v2_eligible(geo: DeviceGeometry, params: SimParams) -> bool:
     if params.temp_interp not in ("nearest", "linear"):
         return False
     if geo.n_subvols > 64 or geo.n_reservoirs > 7:
+        return False
+    if (
+        params.n_cap % params.n_shards != 0
+        or tile_width(params.n_cap // params.n_shards) is None
+    ):
         return False
     if params.step_impl == "v2":
         return True
@@ -72,7 +94,7 @@ def make_step_v2(
     axis_name: str | None = None,
     vary_axes: tuple | None = None,
 ):
-    from nanokappa_tpu.ops.megastep import _SENT, drift_megastep
+    from nanokappa_tpu.ops.megastep import _SENT, drift_megastep, tile_width
     from nanokappa_tpu.ops.merge_bin import merge_bin
     from nanokappa_tpu.sim.step import StepOutputs
 
@@ -103,52 +125,96 @@ def make_step_v2(
     SV = geo.n_subvols
 
     def step(state: SimState, _=None):
-        from nanokappa_tpu.ops.megastep import BN
+        # inside build_step's scan the pool rides TRANSPOSED (16, N); direct
+        # make_step callers pass the plain (N, 16) layout — honour both (the
+        # orientation is static at trace time)
+        plain_layout = state.packed.shape[1] == 16
+        packedT = state.packed.T if plain_layout else state.packed
+        C, N = packedT.shape
+        BN = tile_width(N)
+        assert C == 16 and BN is not None, (C, N)
+        nb = N // BN
+        if plain_layout:
+            # direct make_step callers never see build_step's per-block
+            # defragmentation, and init_state spreads particles across the
+            # pool (shard balance) — the tail-append injection below needs a
+            # dense alive prefix, so compact every step on this compat path
+            from nanokappa_tpu.ops.compact_pool import compact_pool
 
-        N = state.packed.shape[0]
+            packedT, tail0 = compact_pool(
+                packedT, interpret=interpret, vma=vary
+            )
+            state = dataclasses.replace(
+                state, free_count=state.free_count.at[0].set(tail0)
+            )
         # the v2 buffer only holds REFLECTIONS and deep chains (periodic and
-        # absorbing events resolve inside the drift kernel), so the default
-        # is half the v1 event-buffer default, plus per-block alignment slack
+        # absorbing events resolve inside the drift kernel)
         EVT_CAP = -(-(params.evt_cap or max(params.inj_cap, N // 32)) // 128) * 128
-        nb = -(-N // BN)
-        DEAD_CAP = nb * BN  # full pool: see the rotation note below
         key = jax.random.fold_in(state.key, state.step)
         key = jax.random.fold_in(key, shard_idx())
         k_inj, k_casc = jax.random.split(key)
 
-        # 1. reservoir injection into last pass's dead slots
-        state, _stale = inject(
-            state, geo, mat, rtab, params, k_inj, shard_idx(), psum
+        # 1. injection rows appended at the pool tail (no scatter). When the
+        # tail has no room for the full window the whole batch is dropped and
+        # counted (compaction restores headroom every outer block; sustained
+        # drops mean the pool is undersized for the injection rate).
+        cap = params.inj_cap
+        if R > 0:
+            inj_rows, n_valid, new_counter, dropped = sample_injections(
+                state, geo, mat, rtab, params, k_inj, shard_idx()
+            )
+            tail = state.free_count[0]
+            tail_eff = jnp.minimum(tail, N - cap)
+            ok = tail_eff == tail
+            window = jax.lax.dynamic_slice(packedT, (0, tail_eff), (16, cap))
+            keep = ok & (jnp.arange(cap, dtype=jnp.int32) < n_valid)
+            packedT = jax.lax.dynamic_update_slice(
+                packedT,
+                jnp.where(keep[None, :], inj_rows.T, window),
+                (0, tail_eff),
+            )
+            tail = tail + jnp.where(ok, n_valid, 0)
+            lost_inj = dropped + jnp.where(ok, 0, n_valid)
+        else:
+            new_counter = state.res_counter
+            tail = state.free_count[0]
+            lost_inj = jnp.zeros((), jnp.int32)
+
+        # 2. drift mega-kernel (one dense HBM pass)
+        packedT_d, evt_slots, ecnt, _acnt, kledger = drift_megastep(
+            packedT, state.T_sv, state.step > 0, geo, params,
+            interpret=interpret, vma=vary,
         )
 
-        # 2. drift mega-kernel (one full HBM pass)
-        (
-            packedT,
-            evt_idx,
-            estarts,
-            ecounts,
-            dead_idx,
-            dstarts,
-            dcounts,
-            kledger,
-            frozen_k,
-        ) = drift_megastep(
-            state.packed.T, state.T_sv, state.step > 0, geo, params,
-            EVT_CAP, DEAD_CAP, interpret=interpret, vma=vary,
+        # 3. dense event extraction: per-block slot prefixes -> one 128-
+        # aligned segmented index list, clamped to EVT_CAP (excess lanes stay
+        # pending in the pool = frozen one step, counted)
+        al = ((ecnt + 127) // 128) * 128
+        ends_raw = jnp.cumsum(al)
+        starts_c = jnp.minimum(ends_raw - al, EVT_CAP)
+        ecnt_c = jnp.minimum(ecnt, EVT_CAP - starts_c)
+        frozen_k = jnp.sum(ecnt - ecnt_c)
+        ends_c = starts_c + ((ecnt_c + 127) // 128) * 128
+        end_evt = jnp.minimum(ends_raw[-1], EVT_CAP)
+
+        k_lane = jnp.arange(EVT_CAP, dtype=jnp.int32)
+        # block of k = #(ends_c <= k), via histogram + cumsum (a vmapped
+        # searchsorted lowers to a binary-search while loop on TPU)
+        hist = jnp.zeros(EVT_CAP + 1, jnp.int32).at[
+            jnp.clip(ends_c, 0, EVT_CAP)
+        ].add(1)
+        rowid = jnp.minimum(jnp.cumsum(hist)[:EVT_CAP], nb - 1)
+        src = rowid * BN + (k_lane - jnp.take(starts_c, rowid, mode="clip"))
+        evt_idx = jnp.take(
+            evt_slots, jnp.clip(src, 0, nb * BN - 1), mode="clip"
         )
+        evt_idx = jnp.where(k_lane < end_evt, evt_idx, _SENT)
 
-        # clamp segments to the static buffer (overflow lanes froze in-kernel)
-        estarts_c = jnp.minimum(estarts, EVT_CAP)
-        ecounts_c = jnp.clip(ecounts, 0, EVT_CAP - estarts_c[:-1])
-        end_evt = estarts_c[-1]
-
-        # 3. event machinery on the gathered rows (reflections, deep chains)
-        lane = jnp.arange(EVT_CAP, dtype=jnp.int32)
-        vbuf = (lane < end_evt) & (evt_idx < N)
+        # 4. event machinery on the gathered rows (reflections, deep chains)
+        vbuf = evt_idx < N
         rows = jnp.take(
-            packedT.T, jnp.minimum(evt_idx, N - 1), axis=0,
-            indices_are_sorted=False, mode="clip",
-        )
+            packedT_d, jnp.minimum(evt_idx, N - 1), axis=1, mode="clip"
+        ).T
         rows_out, mledger, lost2, frozen2 = run_event_buffer(
             rows, vbuf, geo, mat, btab, params, k_casc, state.T_sv, R8, pvary
         )
@@ -159,38 +225,14 @@ def make_step_v2(
             )
         )
 
-        # 4. merge + subvolume binning (one full HBM pass)
+        # 5. merge + subvolume binning (one full HBM pass)
+        starts_pad = jnp.concatenate([starts_c, end_evt[None]]).astype(
+            jnp.int32
+        )
         mergedT, bins = merge_bin(
-            packedT, rows_out.T, estarts_c, ecounts_c, state.T_sv, geo,
+            packedT_d, rows_out.T, starts_pad, ecnt_c, state.T_sv, geo,
             params, interpret=interpret, vma=vary,
         )
-        packed_new = mergedT.T
-
-        # 5. dead-slot densification for next step's injection allocator.
-        # The scan covers the WHOLE pool and the inj_cap-wide window ROTATES
-        # by step: drawing from a fixed prefix would keep filling the first
-        # pool blocks while absorption frees slots uniformly, draining the
-        # prefix until injections start dropping (observed as a lost-counter
-        # leak at N=1e6 before the rotation).
-        ce = jnp.cumsum(dcounts)
-        total_dead = jnp.maximum(ce[-1], 1)
-        cap_i = params.inj_cap
-        j_rel = jnp.arange(cap_i, dtype=jnp.int32)
-        j0 = (state.step * cap_i) % total_dead
-        j = (j0 + j_rel) % total_dead
-        rowid = jnp.searchsorted(ce, j, side="right").astype(jnp.int32)
-        rowid = jnp.minimum(rowid, ce.shape[0] - 1)
-        cc = jnp.stack([ce, dcounts, dstarts[:-1]], axis=1)
-        cc_rows = jnp.take(cc, rowid, axis=0, mode="clip")
-        within = j - (cc_rows[:, 0] - cc_rows[:, 1])
-        src = jnp.clip(cc_rows[:, 2] + within, 0, DEAD_CAP - 1)
-        dead_dense = jnp.take(dead_idx, src, mode="clip")
-        n_free = jnp.minimum(ce[-1], cap_i)
-        dead_dense = jnp.where(j_rel < n_free, dead_dense, N)
-        free_list = jax.lax.dynamic_update_slice(
-            state.free_list, dead_dense, (0,)
-        )
-        free_count = state.free_count.at[0].set(n_free)
 
         # 6. postlude: normalisation + T inversion (sim/binning.py:124-167)
         sums = psum(bins)[:SV]
@@ -216,17 +258,17 @@ def make_step_v2(
 
         ledger = psum(kledger[:R8] + mledger)
         new_state = SimState(
-            packed=packed_new,
+            packed=mergedT.T if plain_layout else mergedT,
             sv_id=state.sv_id,
             T_sv=T_sv_new,
             Np_sv=np_sv,
-            free_list=free_list,
-            free_count=free_count,
-            res_counter=state.res_counter,
+            free_list=state.free_list,
+            free_count=state.free_count.at[0].set(tail),
+            res_counter=new_counter,
             n_leaving=ledger[:R, 4].astype(jnp.int32),
             res_energy_balance=state.res_energy_balance - ledger[:R, 0],
             res_heat_flux=state.res_heat_flux + ledger[:R, 1:4],
-            lost=state.lost + psum(lost2),
+            lost=state.lost + psum(lost_inj + lost2),
             frozen=state.frozen + psum(frozen_k + frozen2),
             key=state.key,
             step=state.step + 1,
@@ -247,6 +289,37 @@ def make_step_v2(
         return new_state, outputs
 
     return step
+
+
+def to_transposed(state: SimState) -> SimState:
+    """Enter the v2 scan convention: state.packed -> (16, N)."""
+    return dataclasses.replace(state, packed=state.packed.T)
+
+
+def from_transposed(state: SimState) -> SimState:
+    """Leave the v2 scan convention: state.packed -> (N, 16)."""
+    return dataclasses.replace(state, packed=state.packed.T)
+
+
+def refresh_tau_T(stateT: SimState, geo, mat, params) -> SimState:
+    """Transposed-pool variant of sim/step.py refresh_tau (outer-block-
+    cadence lifetime refresh): row reads on the (16, N) pool are contiguous,
+    so no layout conversion is needed."""
+    from nanokappa_tpu.sim.binning import interp_T_particles, subvol_id
+    from nanokappa_tpu.sim.scatter import lifetime_lookup
+    from nanokappa_tpu.sim.state import (
+        C_ALIVE, C_MODE, C_TAU, _bc_i32,
+    )
+
+    pT = stateT.packed
+    pos = pT[0:3].T
+    mode = _bc_i32(pT[C_MODE])
+    alive = pT[C_ALIVE] > 0.5
+    sv = subvol_id(geo, pos)
+    T_p = interp_T_particles(geo, stateT.T_sv, pos, sv, params.temp_interp)
+    tau = lifetime_lookup(mat, T_p, mode)
+    packed = pT.at[C_TAU].set(jnp.where(alive, tau, pT[C_TAU]))
+    return dataclasses.replace(stateT, packed=packed)
 
 
 def make_finalize(geo, mat, params):

@@ -86,7 +86,19 @@ def build_reservoir_tables(
     )
 
 
-def inject(
+def autosize_c_max(rtab: ReservoirTables, n_shards: int = 1) -> int:
+    """Copies per (reservoir, mode) per step the deterministic generation
+    lattice must materialise: floor(max enter rate) + 1 fractional. With a
+    smaller c_max the generator CLIPS injections (counted into `lost`) —
+    ~2%/step on the 1e6-particle film config, where thin bound layers push
+    fast modes above 3 entries/step."""
+    if rtab.n_reservoirs == 0:
+        return 3
+    max_ep = float(np.max(np.asarray(rtab.enter_prob))) / max(n_shards, 1)
+    return max(3, int(max_ep) + 1)
+
+
+def sample_injections(
     state: SimState,
     geo: DeviceGeometry,
     mat: MaterialTables,
@@ -94,24 +106,27 @@ def inject(
     params: SimParams,
     key: jax.Array,
     shard_idx: jax.Array | int = 0,
-    psum=lambda x: x,
 ):
-    """Generate reservoir particles and write them into dead pool slots.
+    """Generate this step's reservoir particles WITHOUT placing them.
 
-    Returns (new_state, stale_idx): injected slots are marked STALE (C_CF)
-    with their partial time fraction dt_in/dt in C_REM; stale_idx lists the
-    written slots (sentinel N on unused lanes) for the cascade's ray cast.
+    Returns (inj_rows (cap, 16) f32 packed rows — valid lanes first —
+    n_valid, new_res_counter, dropped): the sampling half of `inject`,
+    shared by the v1 step (which scatters rows into free-list slots) and
+    the v2 step (which appends them contiguously at the pool tail).
     Under particle-axis sharding each shard runs the process at
     enter_prob/n_shards with its own accumulator (state.res_counter[0]).
     """
+    from nanokappa_tpu.sim.state import N_COLS
+
     R, M = rtab.enter_prob.shape
+    cap = params.inj_cap
     if R == 0:
         return (
-            state,
-            jnp.full(params.inj_cap, state.alive.shape[0], dtype=jnp.int32),
+            jnp.zeros((cap, N_COLS), jnp.float32),
+            jnp.zeros((), jnp.int32),
+            state.res_counter,
+            jnp.zeros((), jnp.int32),
         )
-
-    cap = params.inj_cap
     dt = params.dt
     k_counts, k_dtin, k_pos1, k_pos2, k_tri, k_oto = jax.random.split(key, 6)
 
@@ -266,20 +281,7 @@ def inject(
     inj_dev = occupation_delta_T(T_res, params.t_reference, inj_omega)
     inj_facet = geo.res_facet[inj_res]
 
-    # --- write into dead slots ---------------------------------------------------
-    # pop slots from the persistent free list: everything at buffer width.
-    # The whole injected particle is ONE packed row, so the write is a single
-    # row scatter (didx_w slots are distinct; sentinel N lanes drop).
     from nanokappa_tpu.sim.state import _bc_f32
-
-    N = state.alive.shape[0]
-    n_free = state.free_count[0]
-    n_used = jnp.minimum(n_valid, n_free)
-    lane = jnp.arange(cap, dtype=jnp.int32)
-    write = lane < n_used  # buffer lanes that hold a real particle
-    didx = state.free_list[jnp.maximum(n_free - 1 - lane, 0)]
-    didx_w = jnp.where(write, didx, N)  # sentinel -> dropped on scatter
-    free_count = state.free_count.at[0].add(-n_used)
 
     inj_rows = jnp.concatenate(
         [
@@ -298,6 +300,48 @@ def inject(
         ],
         axis=1,
     )
+    return inj_rows, n_valid, new_counter, dropped_inj
+
+
+def inject(
+    state: SimState,
+    geo: DeviceGeometry,
+    mat: MaterialTables,
+    rtab: ReservoirTables,
+    params: SimParams,
+    key: jax.Array,
+    shard_idx: jax.Array | int = 0,
+    psum=lambda x: x,
+):
+    """Generate reservoir particles and write them into dead pool slots.
+
+    Returns (new_state, stale_idx): injected slots are marked STALE (C_CF)
+    with their partial time fraction dt_in/dt in C_REM; stale_idx lists the
+    written slots (sentinel N on unused lanes) for the cascade's ray cast.
+    """
+    if rtab.n_reservoirs == 0:
+        return (
+            state,
+            jnp.full(params.inj_cap, state.alive.shape[0], dtype=jnp.int32),
+        )
+    inj_rows, n_valid, new_counter, dropped_inj = sample_injections(
+        state, geo, mat, rtab, params, key, shard_idx
+    )
+    cap = params.inj_cap
+
+    # --- write into dead slots ---------------------------------------------
+    # pop slots from the persistent free list: everything at buffer width.
+    # The whole injected particle is ONE packed row, so the write is a single
+    # row scatter (didx_w slots are distinct; sentinel N lanes drop).
+    N = state.alive.shape[0]
+    n_free = state.free_count[0]
+    n_used = jnp.minimum(n_valid, n_free)
+    lane = jnp.arange(cap, dtype=jnp.int32)
+    write = lane < n_used  # buffer lanes that hold a real particle
+    didx = state.free_list[jnp.maximum(n_free - 1 - lane, 0)]
+    didx_w = jnp.where(write, didx, N)  # sentinel -> dropped on scatter
+    free_count = state.free_count.at[0].add(-n_used)
+
     packed = state.packed.at[didx_w].set(
         inj_rows, mode="drop", unique_indices=True
     )

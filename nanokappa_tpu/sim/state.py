@@ -203,6 +203,22 @@ def with_cols(state: SimState, **updates) -> SimState:
     return dataclasses.replace(state, **other)
 
 
+def round_pool_cap(n_cap: int, n_shards: int = 1) -> int:
+    """Round a requested pool capacity UP to a v2-kernel-compatible width:
+    the per-shard pool must be a power of two in [1024, BN) or a multiple of
+    BN = 16384 (ops/megastep.py tile_width). Extra slots start dead and only
+    cost memory; the v1 path accepts any width, so rounding unconditionally
+    is harmless."""
+    from nanokappa_tpu.ops.megastep import BN
+
+    w = -(-n_cap // n_shards)
+    if w >= BN:
+        w = -(-w // BN) * BN
+    else:
+        w = max(1024, 1 << (w - 1).bit_length())
+    return w * n_shards
+
+
 def particle_count(spec: tuple, mat: Material, domain: Domain) -> tuple[int, float]:
     """Resolve the --particles (kind, value) spec into (N_p, particle_density).
 

@@ -213,10 +213,52 @@ def build_step(geo, mat, btab, rtab, params, n_inner: int = 1, n_outer: int = 1)
     reservoir ledgers (reference restart_reservoir_balance), so the host
     syncs once per n_outer datapoints with the convergence-row cadence
     unchanged. Every ~0.6 s host round trip through a remote-TPU tunnel
-    amortises over 10x more simulated steps."""
+    amortises over 10x more simulated steps.
+
+    On the v2 path the pool rides TRANSPOSED (16, N) through the scans (the
+    Pallas kernels' native layout) and is defragmented once per block
+    (ops/compact_pool.py) so tail appends never hit capacity; the layout
+    converts back at the run() boundary only."""
     import dataclasses
 
+    from nanokappa_tpu.sim.fused import v2_eligible
+
     step = make_step(geo, mat, btab, rtab, params)
+    is_v2 = v2_eligible(geo, params)
+
+    if is_v2:
+        from nanokappa_tpu.ops.compact_pool import compact_pool
+        from nanokappa_tpu.sim.fused import (
+            from_transposed, refresh_tau_T, to_transposed,
+        )
+
+        interp = jax.default_backend() == "cpu"
+
+        def block(stateT: SimState, _=None):
+            stateT = refresh_tau_T(stateT, geo, mat, params)
+            pool, tail = compact_pool(stateT.packed, interpret=interp)
+            stateT = dataclasses.replace(
+                stateT,
+                packed=pool,
+                free_count=stateT.free_count.at[0].set(tail),
+            )
+            stateT, outs = jax.lax.scan(step, stateT, length=n_inner)
+            last = jax.tree.map(lambda x: x[-1], outs)
+            stateT = reset_ledgers(stateT)
+            return stateT, last
+
+        @jax.jit
+        def run(state: SimState):
+            stateT = to_transposed(state)
+            if n_outer == 1:
+                stateT, out = block(stateT)
+            else:
+                stateT, out = jax.lax.scan(block, stateT, length=n_outer)
+            state = from_transposed(stateT)
+            state = dataclasses.replace(state, sv_id=state.sv_col)
+            return state, out
+
+        return run
 
     def block(state: SimState, _=None):
         state = refresh_tau(state, geo, mat, params)

@@ -23,7 +23,9 @@ def build(n_particles, mesh_pts, debug_skip="", n_inner=20, **overrides):
     from nanokappa_tpu.material import synthetic_material
     from nanokappa_tpu.geometry.domain import build_domain
     from nanokappa_tpu.geometry.device import build_device_geometry
-    from nanokappa_tpu.sim.state import SimParams, init_state, particle_count
+    from nanokappa_tpu.sim.state import (
+    SimParams, init_state, particle_count, round_pool_cap,
+)
     from nanokappa_tpu.sim.boundary_tables import build_boundary_tables
     from nanokappa_tpu.sim.reservoir import build_reservoir_tables
     from nanokappa_tpu.sim.step import build_step
@@ -42,10 +44,14 @@ def build(n_particles, mesh_pts, debug_skip="", n_inner=20, **overrides):
         connect_pos=("relative", 0.5, -0.1, 0.5, 0.5, 1.1, 0.5),
     )
     n_p, rho = particle_count(("total", n_particles), mat, dom)
+    rtab = build_reservoir_tables(mat, dom, 1.0, rho)
+    from nanokappa_tpu.sim.reservoir import autosize_c_max
+
     kw = dict(
         dt=1.0,
-        n_cap=int(n_p * 1.25),
+        n_cap=round_pool_cap(int(n_p * 1.25)),
         inj_cap=1 << 13,
+        c_max=autosize_c_max(rtab),
         temp_interp="nearest",
         particle_density=rho,
         n_active_modes=mat.n_active_modes,
@@ -56,7 +62,6 @@ def build(n_particles, mesh_pts, debug_skip="", n_inner=20, **overrides):
     params = SimParams(**kw)
     geo = build_device_geometry(dom)
     btab = build_boundary_tables(mat, dom)
-    rtab = build_reservoir_tables(mat, dom, params.dt, rho)
     state = init_state(mat, dom, geo, params, n_p, temp_dist="linear")
     run = build_step(geo, mat.device_tables(), btab, rtab, params, n_inner=n_inner)
     return run, state

@@ -1,0 +1,71 @@
+"""Real-TPU equivalence checks (skipped on CPU back ends).
+
+The production step's Pallas kernels fall back to XLA formulations on CPU,
+so CI never exercises the exact code that produces the benchmark number.
+These tests run ONLY when a TPU backend is attached and assert the Pallas
+and XLA paths produce identical results on identical inputs (they are exact
+algorithms, not stochastic): stream compaction, the sorted row scatter, and
+the fused drift/merge kernels against the v1 XLA step.
+
+Run manually on the chip (they are excluded from the CPU suite by the
+skip marker): PYTHONPATH=. python -m pytest tests/test_onchip.py -v
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() == "cpu", reason="needs a real TPU backend"
+)
+
+
+def test_compact_pallas_matches_searchsorted():
+    from nanokappa_tpu.ops.compact import compact_indices_pallas
+
+    rng = np.random.default_rng(5)
+    n, cap = 200_000, 1 << 14
+    mask = jnp.asarray(rng.random(n) < 0.05)
+    pidx, nv = compact_indices_pallas(mask, cap)
+    csum = jnp.cumsum(mask.astype(jnp.int32))
+    j = jnp.arange(cap, dtype=jnp.int32)
+    ref = jnp.searchsorted(csum, j + 1, side="left").astype(jnp.int32)
+    ref = jnp.where(j < jnp.minimum(csum[-1], cap), ref, n)
+    assert int(nv) == int(jnp.minimum(csum[-1], cap))
+    np.testing.assert_array_equal(np.asarray(pidx), np.asarray(ref))
+
+
+def test_scatter_rows_pallas_matches_xla():
+    from nanokappa_tpu.ops.scatter_rows import scatter_rows_sorted
+
+    rng = np.random.default_rng(7)
+    n, e, c = 150_000, 4096, 16
+    base = jnp.asarray(rng.standard_normal((n, c)), jnp.float32)
+    rows = jnp.asarray(rng.standard_normal((e, c)), jnp.float32)
+    idx = np.sort(rng.choice(n, size=e, replace=False)).astype(np.int32)
+    idx[-5:] = n + np.arange(5)  # sentinel tail
+    idx = jnp.asarray(np.sort(idx))
+    out_p = scatter_rows_sorted(base, rows, idx)
+    out_x = base.at[idx].set(
+        rows, mode="drop", indices_are_sorted=True, unique_indices=True
+    )
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_x))
+
+
+def test_v2_step_matches_v1_on_chip():
+    """One deterministic (reflection-free) config, stepped by both
+    implementations ON THE CHIP: identical particle sets step for step."""
+    from tests.test_fused import _run
+
+    s1, o1, _ = _run("v1", n_steps=3)
+    s2, o2, _ = _run("v2", n_steps=3)
+    for k, (a, b) in enumerate(zip(o1, o2)):
+        np.testing.assert_allclose(
+            np.asarray(a.T_sv), np.asarray(b.T_sv), rtol=5e-6,
+            err_msg=f"T_sv step {k}")
+        np.testing.assert_array_equal(
+            np.asarray(a.Np_sv), np.asarray(b.Np_sv))
+        np.testing.assert_array_equal(
+            np.asarray(a.n_leaving), np.asarray(b.n_leaving))
