@@ -47,12 +47,12 @@ def run_config(n_particles: float, mesh_pts: int, res_gen: str):
     )
     n_p, rho = particle_count(("total", n_particles), mat, dom)
     rtab = build_reservoir_tables(mat, dom, 1.0, rho)
-    from nanokappa_tpu.sim.reservoir import autosize_c_max
+    from nanokappa_tpu.sim.reservoir import autosize_c_max, autosize_inj_cap
 
     params = SimParams(
         dt=1.0,
         n_cap=round_pool_cap(int(n_p * 1.25)),
-        inj_cap=1 << 13,
+        inj_cap=autosize_inj_cap(rtab),
         c_max=autosize_c_max(rtab),
         temp_interp="nearest",  # the reference's default interpolation
         res_gen=res_gen,

@@ -151,13 +151,15 @@ class Simulation:
         self.rtab = build_reservoir_tables(material, self.domain, dt, rho)
         from nanokappa_tpu.sim.reservoir import autosize_c_max
 
+        from nanokappa_tpu.sim.reservoir import autosize_inj_cap
+
         c_max = autosize_c_max(self.rtab, n_shards) if str(
             args.reservoir_gen[0]
         ) in ("constant", "fixed_rate") else 3
         self.params = SimParams(
             dt=dt,
             n_cap=n_cap,
-            inj_cap=1 << 14,
+            inj_cap=autosize_inj_cap(self.rtab, n_shards),
             c_max=c_max,
             energy_normal=str(args.energy_normal[0]),
             temp_interp=str(args.temp_interp[0]),

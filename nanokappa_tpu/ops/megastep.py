@@ -185,10 +185,14 @@ def _kernel(
     rta_ref,  # (1, 1) i32 SMEM: apply deferred RTA this step?
     in_ref,  # (16, 1, 8, BN8) packed tile
     out_ref,  # (16, 1, 8, BN8) drifted tile
-    evt_ref,  # (1, 8, BN8) i32: this block's event slot
-    cnt_ref,  # (nb, 8) i32 SMEM (whole array): [evt_count, alive_count, ...]
+    evt_hbm,  # (1, ECAP + BN) i32 global event-index buffer (ANY, manual DMA)
+    cnt_ref,  # (nb, 8) i32 SMEM (whole array):
+    #   [pend_count, alive_count, seg_start, seg_kept, ...]
     ledger_ref,  # (8, 128) f32 reservoir ledger [e, fx, fy, fz, count]
     acc_ref,  # (8, 128) f32 VMEM ledger accumulator
+    evt_s,  # (1, BN) i32 VMEM staging row for the event-segment DMA
+    off_ref,  # (1,) i32 SMEM: running 128-aligned global segment offset
+    sem,  # DMA semaphore
     *,
     tables: dict,
     cfg: dict,
@@ -204,6 +208,7 @@ def _kernel(
     @pl.when(b == 0)
     def _init():
         acc_ref[:, :] = jnp.zeros((8, 128), jnp.float32)
+        off_ref[0] = 0
 
     gidx = b * BN + _iota_flat(SH)
     in_pool = gidx < cfg["n_real"]
@@ -393,12 +398,32 @@ def _kernel(
             [led, jnp.zeros((R8, 128 - 5), jnp.float32)], axis=1
         )
 
-    # ---- 5. pending events -> this block's private index slot -------------
+    # ---- 5. pending events -> a GLOBAL 128-aligned segment ------------------
+    # The TPU grid runs sequentially, so a running SMEM offset chains the
+    # per-block segments into one dense buffer IN-KERNEL — the XLA glue that
+    # re-gathered per-block private slots into a packed list cost 0.55
+    # ms/step at N=1.25e6 (round-3 trace, fused.py hist/cumsum + two 39k-lane
+    # scalar gathers). Overrun past a segment's aligned width is overwritten
+    # by the NEXT block's full-BN DMA window (same trick as compact_pool);
+    # lanes clamped off by ECAP stay pending in the pool (frozen, counted
+    # outside from pend_count - seg_kept).
     pend = alive & (rem > _REMAIN_EPS) & (cf >= 0) & (t_coll <= 1e-9)
     evt_packed, evt_cnt = _compact_flat(pend, gidx, _SENT)
-    evt_ref[0] = evt_packed
+    off = off_ref[0]
+    kept = jnp.minimum(evt_cnt, cfg["ecap"] - off)
+    off_ref[0] = off + ((kept + 127) // 128) * 128
+    row = _unflat8(evt_packed)  # (1, BN) ascending indices, _SENT filled
+    lane_r = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    evt_s[:, :] = jnp.where(lane_r < kept, row, _SENT)
+    cp = pltpu.make_async_copy(
+        evt_s, evt_hbm.at[:, pl.ds(pl.multiple_of(off, 128), BN)], sem
+    )
+    cp.start()
+    cp.wait()
     cnt_ref[b, 0] = evt_cnt
     cnt_ref[b, 1] = jnp.sum((alive & in_pool).astype(jnp.int32))
+    cnt_ref[b, 2] = off
+    cnt_ref[b, 3] = kept
 
     # ---- 6. write the drifted tile (per-attribute 2-D stores) --------------
     for c, v in enumerate(
@@ -423,13 +448,15 @@ def drift_megastep(
     geo,  # DeviceGeometry (host constants are baked in statically)
     params,
     n_real: int | None = None,  # real pool width (< N only for pad lanes)
+    ecap: int = 0,  # event-buffer capacity (128-multiple); 0 -> N // 64
     interpret: bool = False,
     vma=None,
 ):
-    """Returns (packedT' (16, N), evt_slots (nb * BN,) i32 — block b's
-    ascending event indices at [b*BN, b*BN + counts[b]), sentinel _SENT
-    elsewhere — counts (nb,) i32, alive_counts (nb,) i32, ledger (8, 5) f32).
-    """
+    """Returns (packedT' (16, N), evt_buf (ecap + BN,) i32 — ascending
+    event indices packed into per-block 128-aligned segments
+    [starts[b], starts[b] + kept[b]), sentinel _SENT elsewhere —
+    pend_counts (nb,) i32, alive_counts (nb,) i32, starts (nb,) i32,
+    kept (nb,) i32, ledger (8, 5) f32)."""
     from nanokappa_tpu.constants import HBAR
     from nanokappa_tpu.geometry.domain import BC
 
@@ -476,12 +503,17 @@ def drift_megastep(
         n_reservoirs=int(geo.n_reservoirs),
         hbar=HBAR,
         bn=bn,
+        ecap=ecap,
     )
 
     SVP = max(128, -(-SV // 128) * 128)
     tsv = jnp.zeros((1, SVP), jnp.float32).at[0, :SV].set(T_sv)
     rta = jnp.asarray(rta_on, jnp.int32).reshape(1, 1)
     pool4 = packedT.reshape(16, nb, 8, bn8)
+    if ecap <= 0:
+        ecap = max(2048, -(-(N // 64) // 128) * 128)
+    assert ecap % 128 == 0
+    cfg["ecap"] = ecap
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -499,14 +531,15 @@ def drift_megastep(
                 (16, 1, 8, bn8), lambda b: (0, b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, 8, bn8), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # evt_buf: manual DMA
             pl.BlockSpec(memory_space=pltpu.SMEM),  # counts: whole array
             pl.BlockSpec((8, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((1, bn), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     kw = dict(vma=frozenset(vma)) if vma else {}
@@ -515,20 +548,26 @@ def drift_megastep(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((16, nb, 8, bn8), jnp.float32, **kw),
-            jax.ShapeDtypeStruct((nb, 8, bn8), jnp.int32, **kw),
+            jax.ShapeDtypeStruct((1, ecap + bn), jnp.int32, **kw),
             jax.ShapeDtypeStruct((nb, 8), jnp.int32, **kw),
             jax.ShapeDtypeStruct((8, 128), jnp.float32, **kw),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        # the pool updates in place (block b is written only after it is
+        # read; the sequential grid never revisits it) — halves the step's
+        # pool footprint and lets XLA drop a defensive copy
+        input_output_aliases={2: 0},
         interpret=interpret,
     )(tsv, rta, pool4)
-    pool_out, evt_slots, cnts, ledger = outs
+    pool_out, evt_buf, cnts, ledger = outs
     return (
         pool_out.reshape(16, N),
-        evt_slots.reshape(nb * bn),
-        cnts[:, 0],  # event counts
+        evt_buf[0],  # (ecap + bn,) segmented ascending event indices
+        cnts[:, 0],  # full pending-event counts
         cnts[:, 1],  # alive counts
+        cnts[:, 2],  # segment starts (128-aligned)
+        cnts[:, 3],  # kept counts (post-ECAP clamp)
         ledger[:, :5],
     )

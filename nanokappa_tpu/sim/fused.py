@@ -149,7 +149,12 @@ def make_step_v2(
             )
         # the v2 buffer only holds REFLECTIONS and deep chains (periodic and
         # absorbing events resolve inside the drift kernel)
-        EVT_CAP = -(-(params.evt_cap or max(params.inj_cap, N // 32)) // 128) * 128
+        # default sized from the measured steady-state event rate of the film
+        # config (12k pending/step at N=1.25e6 = N/105, scripts/count_events:
+        # reflections only; periodic+absorb resolve in-kernel) with a 1.6x
+        # burst margin; overflow freezes lanes for one step (counted, and the
+        # driver warns on sustained storms)
+        EVT_CAP = -(-(params.evt_cap or max(params.inj_cap, N // 64)) // 128) * 128
         key = jax.random.fold_in(state.key, state.step)
         key = jax.random.fold_in(key, shard_idx())
         k_inj, k_casc = jax.random.split(key)
@@ -180,37 +185,20 @@ def make_step_v2(
             tail = state.free_count[0]
             lost_inj = jnp.zeros((), jnp.int32)
 
-        # 2. drift mega-kernel (one dense HBM pass)
-        packedT_d, evt_slots, ecnt, _acnt, kledger = drift_megastep(
-            packedT, state.T_sv, state.step > 0, geo, params,
-            interpret=interpret, vma=vary,
+        # 2. drift mega-kernel (one dense HBM pass); the kernel itself packs
+        # event indices into per-block 128-aligned segments of ONE global
+        # buffer (the per-block-slot re-gather glue this replaces cost 0.55
+        # ms/step at N=1.25e6)
+        packedT_d, evt_buf, ecnt, _acnt, starts_c, ecnt_c, kledger = (
+            drift_megastep(
+                packedT, state.T_sv, state.step > 0, geo, params,
+                ecap=EVT_CAP, interpret=interpret, vma=vary,
+            )
         )
-
-        # 3. dense event extraction: per-block slot prefixes -> one 128-
-        # aligned segmented index list, clamped to EVT_CAP (excess lanes stay
-        # pending in the pool = frozen one step, counted)
-        al = ((ecnt + 127) // 128) * 128
-        ends_raw = jnp.cumsum(al)
-        starts_c = jnp.minimum(ends_raw - al, EVT_CAP)
-        ecnt_c = jnp.minimum(ecnt, EVT_CAP - starts_c)
         frozen_k = jnp.sum(ecnt - ecnt_c)
-        ends_c = starts_c + ((ecnt_c + 127) // 128) * 128
-        end_evt = jnp.minimum(ends_raw[-1], EVT_CAP)
+        evt_idx = evt_buf[:EVT_CAP]
 
-        k_lane = jnp.arange(EVT_CAP, dtype=jnp.int32)
-        # block of k = #(ends_c <= k), via histogram + cumsum (a vmapped
-        # searchsorted lowers to a binary-search while loop on TPU)
-        hist = jnp.zeros(EVT_CAP + 1, jnp.int32).at[
-            jnp.clip(ends_c, 0, EVT_CAP)
-        ].add(1)
-        rowid = jnp.minimum(jnp.cumsum(hist)[:EVT_CAP], nb - 1)
-        src = rowid * BN + (k_lane - jnp.take(starts_c, rowid, mode="clip"))
-        evt_idx = jnp.take(
-            evt_slots, jnp.clip(src, 0, nb * BN - 1), mode="clip"
-        )
-        evt_idx = jnp.where(k_lane < end_evt, evt_idx, _SENT)
-
-        # 4. event machinery on the gathered rows (reflections, deep chains)
+        # 3. event machinery on the gathered rows (reflections, deep chains)
         vbuf = evt_idx < N
         rows = jnp.take(
             packedT_d, jnp.minimum(evt_idx, N - 1), axis=1, mode="clip"
@@ -225,7 +213,8 @@ def make_step_v2(
             )
         )
 
-        # 5. merge + subvolume binning (one full HBM pass)
+        # 4. merge + subvolume binning (one full HBM pass)
+        end_evt = starts_c[-1] + ((ecnt_c[-1] + 127) // 128) * 128
         starts_pad = jnp.concatenate([starts_c, end_evt[None]]).astype(
             jnp.int32
         )

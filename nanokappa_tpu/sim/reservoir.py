@@ -86,6 +86,21 @@ def build_reservoir_tables(
     )
 
 
+def autosize_inj_cap(rtab: ReservoirTables, n_shards: int = 1) -> int:
+    """Injection-buffer width from the expected entry rate: every stage of
+    the sampling pipeline (mode-table gathers, facet-surface placement,
+    tail-append window) runs at this STATIC width, so an oversized buffer is
+    a per-step tax whether or not lanes are used (~0.2 ms/step at the round-3
+    default 8192 vs the film config's 2.4k actual). sum(enter_prob) IS the
+    expected count (deterministic floor + Bernoulli fractional per (r, m),
+    reference classes/Population.py:1217-1248); 1.3x + 128 covers the
+    fractional-draw noise (Poisson-like sd = sqrt(frac sum) << margin)."""
+    if rtab.n_reservoirs == 0:
+        return 128
+    exp = float(np.sum(np.asarray(rtab.enter_prob))) / max(n_shards, 1)
+    return max(512, -(-int(1.3 * exp + 128) // 128) * 128)
+
+
 def autosize_c_max(rtab: ReservoirTables, n_shards: int = 1) -> int:
     """Copies per (reservoir, mode) per step the deterministic generation
     lattice must materialise: floor(max enter rate) + 1 fractional. With a

@@ -45,12 +45,12 @@ def build(n_particles, mesh_pts, debug_skip="", n_inner=20, **overrides):
     )
     n_p, rho = particle_count(("total", n_particles), mat, dom)
     rtab = build_reservoir_tables(mat, dom, 1.0, rho)
-    from nanokappa_tpu.sim.reservoir import autosize_c_max
+    from nanokappa_tpu.sim.reservoir import autosize_c_max, autosize_inj_cap
 
     kw = dict(
         dt=1.0,
         n_cap=round_pool_cap(int(n_p * 1.25)),
-        inj_cap=1 << 13,
+        inj_cap=autosize_inj_cap(rtab),
         c_max=autosize_c_max(rtab),
         temp_interp="nearest",
         particle_density=rho,

@@ -8,10 +8,20 @@ registers the axon TPU backend, so env vars are too late here — the override
 must go through jax.config.
 """
 
+import os
+
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if os.environ.get("NK_ONCHIP"):
+    # keep the real TPU backend attached — used to run tests/test_onchip.py
+    # (the recorded Pallas-vs-XLA equivalence evidence):
+    #   NK_ONCHIP=1 python -m pytest tests/test_onchip.py -v
+    from nanokappa_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
