@@ -525,9 +525,13 @@ def _event_round(
 
     sv_here = subvol_id(geo, pos)
     T_wall = interp_T_particles(geo, T_sv, pos, sv_here, params.temp_interp)
-    from nanokappa_tpu.sim.scatter import lifetime_lookup
+    from nanokappa_tpu.sim.scatter import lifetime_by_sv, lifetime_lookup
 
-    tau_new = jnp.where(changed, lifetime_lookup(mat, T_wall, mode), b.tau)
+    if params.temp_interp == "nearest":
+        tau_new = lifetime_by_sv(mat, T_sv, sv_here, mode)
+    else:
+        tau_new = lifetime_lookup(mat, T_wall, mode)
+    tau_new = jnp.where(changed, tau_new, b.tau)
     dev = jnp.where(
         spec,
         b.dev + occupation_delta_omega(params.t_reference, b.omega, omega_new),

@@ -295,7 +295,7 @@ def refresh_tau_T(stateT: SimState, geo, mat, params) -> SimState:
     cadence lifetime refresh): row reads on the (16, N) pool are contiguous,
     so no layout conversion is needed."""
     from nanokappa_tpu.sim.binning import interp_T_particles, subvol_id
-    from nanokappa_tpu.sim.scatter import lifetime_lookup
+    from nanokappa_tpu.sim.scatter import lifetime_by_sv, lifetime_lookup
     from nanokappa_tpu.sim.state import (
         C_ALIVE, C_MODE, C_TAU, _bc_i32,
     )
@@ -305,8 +305,13 @@ def refresh_tau_T(stateT: SimState, geo, mat, params) -> SimState:
     mode = _bc_i32(pT[C_MODE])
     alive = pT[C_ALIVE] > 0.5
     sv = subvol_id(geo, pos)
-    T_p = interp_T_particles(geo, stateT.T_sv, pos, sv, params.temp_interp)
-    tau = lifetime_lookup(mat, T_p, mode)
+    if params.temp_interp == "nearest":
+        tau = lifetime_by_sv(mat, stateT.T_sv, sv, mode)
+    else:
+        T_p = interp_T_particles(
+            geo, stateT.T_sv, pos, sv, params.temp_interp
+        )
+        tau = lifetime_lookup(mat, T_p, mode)
     packed = pT.at[C_TAU].set(jnp.where(alive, tau, pT[C_TAU]))
     return dataclasses.replace(stateT, packed=packed)
 

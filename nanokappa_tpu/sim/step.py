@@ -287,12 +287,17 @@ def refresh_tau(state: SimState, geo, mat, params) -> SimState:
     """Full-width lifetime refresh, once per outer scan (~every 10 steps):
     between refreshes tau only goes stale by the slow subvolume-temperature
     drift (<0.1 K), a <0.1% lifetime error, far below Monte Carlo noise."""
-    from nanokappa_tpu.sim.scatter import lifetime_lookup
+    from nanokappa_tpu.sim.scatter import lifetime_by_sv, lifetime_lookup
     from nanokappa_tpu.sim.state import with_cols
 
     sv = subvol_id(geo, state.pos)
-    T_p = interp_T_particles(geo, state.T_sv, state.pos, sv, params.temp_interp)
-    tau = lifetime_lookup(mat, T_p, state.mode)
+    if params.temp_interp == "nearest":
+        tau = lifetime_by_sv(mat, state.T_sv, sv, state.mode)
+    else:
+        T_p = interp_T_particles(
+            geo, state.T_sv, state.pos, sv, params.temp_interp
+        )
+        tau = lifetime_lookup(mat, T_p, state.mode)
     return with_cols(state, tau=jnp.where(state.alive, tau, state.tau))
 
 

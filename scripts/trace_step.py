@@ -60,7 +60,8 @@ def main():
 
     n = float(sys.argv[1]) if len(sys.argv) > 1 else 1e6
     n_top = int(sys.argv[2]) if len(sys.argv) > 2 else 24
-    run, state = build(n, 8, n_inner=20)
+    mesh_pts = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    run, state = build(n, mesh_pts, n_inner=20)
 
     lowered = run.lower(state)
     compiled = lowered.compile()

@@ -5,6 +5,7 @@ import dataclasses
 import os
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from nanokappa_tpu.material import synthetic_material
@@ -153,3 +154,19 @@ def test_frozen_overflow_counter(small_material):
     assert int(out.lost) == 0
     # frozen lanes stay alive: population conserved within injection noise
     assert abs(int(out.N_p) - 1e4) < 0.2 * 1e4
+
+
+def test_lifetime_by_sv_matches_lookup(small_material):
+    """The per-subvolume lifetime table ('nearest' interp fast path) is
+    bitwise-identical to the per-particle tau_pair lookup it replaces."""
+    mat = small_material.device_tables()
+    rng = np.random.default_rng(3)
+    from nanokappa_tpu.sim.scatter import lifetime_by_sv, lifetime_lookup
+
+    SV, N = 10, 20000
+    T_sv = jnp.asarray(298 + 4 * rng.random(SV), jnp.float32)
+    sv = jnp.asarray(rng.integers(0, SV, N), jnp.int32)
+    mode = jnp.asarray(rng.integers(0, mat.omega.shape[0], N), jnp.int32)
+    a = lifetime_lookup(mat, T_sv[sv], mode)
+    b = lifetime_by_sv(mat, T_sv, sv, mode)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
