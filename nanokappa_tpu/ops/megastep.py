@@ -23,11 +23,15 @@ elementwise op runs at full sublane occupancy. Per tile, entirely in VMEM:
      arithmetic for a box; the energy/flux ledger accumulates on the MXU at
      Precision.HIGHEST,
   5. compaction of the still-pending events (reflections and deep chains)
-     into this block's PRIVATE slot of a (nb, 8, BN8) index buffer — written
-     as a normal blocked Pallas output, no manual DMA, no cross-block SMEM
-     chaining. A block can never overflow its slot (it holds BN entries =
-     the whole tile), so overflow/freeze accounting moves OUTSIDE to the
-     global event-capacity clamp in sim/fused.py.
+     into 128-aligned segments of ONE global index buffer via a running SMEM
+     offset (the TPU grid is sequential). Exported lanes are marked DEAD in
+     the pool: the particle bag is unordered, so the event machinery's
+     results re-enter by APPENDING at the pool tail (sim/fused.py) — no
+     scatter-back, no merge pass,
+  6. subvolume binning of every lane that stays (one MXU one-hot matmul per
+     tile at Precision.HIGHEST); the exported minority is binned
+     post-machinery at buffer width in XLA, and the two sums partition the
+     population exactly (sim/binning.py:124-167 semantics).
 
 Index compaction runs in FLATTENED order p = r * BN8 + l over the dense
 (8, BN8) registers: shifts by s < BN8 are a lane roll plus a one-row sublane
@@ -124,7 +128,8 @@ def _cumsum_flat(x):
 def _compact_flat(mask, values, fill):
     """Pack `values` at True positions of `mask` to the front of the tile in
     flattened order (LSB-first log-shift network, ops/compact.py:36-65).
-    Returns (packed (8, bn8), count scalar)."""
+    Returns (packed (8, bn8), count scalar, inclusive cumsum (8, bn8) — the
+    1-based rank of each True lane, used for export clamps)."""
     BN = 8 * mask.shape[-1]
     p = _iota_flat(mask.shape)
     c = _cumsum_flat(mask.astype(jnp.int32))
@@ -141,7 +146,7 @@ def _compact_flat(mask, values, fill):
         delta = jnp.where(take, sh_dlt - s, jnp.where(stay, delta, _BIG))
         s *= 2
     packed = jnp.where(p < count, val, fill)
-    return packed, count
+    return packed, count, c
 
 
 def _unflat8(x):
@@ -189,7 +194,9 @@ def _kernel(
     cnt_ref,  # (nb, 8) i32 SMEM (whole array):
     #   [pend_count, alive_count, seg_start, seg_kept, ...]
     ledger_ref,  # (8, 128) f32 reservoir ledger [e, fx, fy, fz, count]
+    bins_ref,  # (SV8, 128) f32 subvolume sums [e, e*vx, e*vy, e*vz, alive]
     acc_ref,  # (8, 128) f32 VMEM ledger accumulator
+    bacc_ref,  # (SV8, 128) f32 VMEM binning accumulator
     evt_s,  # (1, BN) i32 VMEM staging row for the event-segment DMA
     off_ref,  # (1,) i32 SMEM: running 128-aligned global segment offset
     sem,  # DMA semaphore
@@ -203,11 +210,14 @@ def _kernel(
     t_ref = cfg["t_reference"]
     R8 = 8
     BN = cfg["bn"]  # tile width (shadows the module default)
-    SH = (8, BN // 8)
+    BN8 = BN // 8
+    SH = (8, BN8)
+    SV8 = cfg["sv8"]
 
     @pl.when(b == 0)
     def _init():
         acc_ref[:, :] = jnp.zeros((8, 128), jnp.float32)
+        bacc_ref[:, :] = jnp.zeros((SV8, 128), jnp.float32)
         off_ref[0] = 0
 
     gidx = b * BN + _iota_flat(SH)
@@ -235,7 +245,14 @@ def _kernel(
     onf = i32(in_ref[C_ONF, 0])
     rem_col = in_ref[C_REM, 0]
     alive = (in_ref[C_ALIVE, 0] > 0.5) & in_pool
-    sv = i32(in_ref[C_SV, 0])
+    # position-derived subvolume id (slice domains are index arithmetic) —
+    # identical to the C_SV column the round-3 merge kernel used to refresh,
+    # since nothing moves between a step's binning and the next step's drift
+    SVn = cfg["n_subvols"]
+    pa0 = (px, py, pz)[cfg["slice_axis"]]
+    sv = jnp.clip(
+        ((pa0 - cfg["lo_b"]) * cfg["inv_len"]).astype(jnp.int32), 0, SVn - 1
+    )
 
     # remaining dt fraction: frozen lanes resume their leftover, fresh
     # injections carry dt_in/dt, everyone else gets a full step
@@ -408,7 +425,7 @@ def _kernel(
     # lanes clamped off by ECAP stay pending in the pool (frozen, counted
     # outside from pend_count - seg_kept).
     pend = alive & (rem > _REMAIN_EPS) & (cf >= 0) & (t_coll <= 1e-9)
-    evt_packed, evt_cnt = _compact_flat(pend, gidx, _SENT)
+    evt_packed, evt_cnt, rank = _compact_flat(pend, gidx, _SENT)
     off = off_ref[0]
     kept = jnp.minimum(evt_cnt, cfg["ecap"] - off)
     off_ref[0] = off + ((kept + 127) // 128) * 128
@@ -425,6 +442,54 @@ def _kernel(
     cnt_ref[b, 2] = off
     cnt_ref[b, 3] = kept
 
+    # exported lanes LEAVE the pool: the particle bag is unordered, so the
+    # event machinery's results APPEND at the pool tail like injections
+    # (sim/fused.py) instead of scattering back to their origin lanes — this
+    # removed the O(BN log BN) expand-network merge pass entirely (0.98
+    # ms/step at N=1.25e6 in the round-3 trace). Lanes clamped off by ECAP
+    # (rank > kept) stay pending in the pool for one step (frozen, counted
+    # outside from pend_count - kept).
+    exported = pend & (rank <= kept)
+    alive = alive & ~exported
+
+    # ---- 5.5 subvolume binning of every lane that STAYS in the pool --------
+    # (exported rows are binned post-machinery at buffer width in XLA; the
+    # two sums partition the population, matching sim/binning.py:124-167 on
+    # the end-of-step state). dn is taken against the SUBVOLUME temperature
+    # (classes/Population.py:707), positions are post-drift.
+    pa_f = (px, py, pz)[cfg["slice_axis"]]
+    sv = jnp.clip(
+        ((pa_f - cfg["lo_b"]) * cfg["inv_len"]).astype(jnp.int32), 0, SVn - 1
+    )
+    SV8 = cfg["sv8"]
+    T_b = jnp.zeros(SH, jnp.float32)
+    for s in range(SVn):
+        T_b = jnp.where(sv == s, tsv_ref[0, s], T_b)
+    dn_b = dev - occupation_delta_T_k(T_b, t_ref, omega)
+    e_b = jnp.where(alive, cfg["hbar"] * omega * dn_b, 0.0)
+    sv_row = _unflat8(jnp.where(alive, sv, SV8))  # SV8 -> matches no row
+    oh_b = (
+        sv_row == jax.lax.broadcasted_iota(jnp.int32, (SV8, BN), 0)
+    ).astype(f32)
+    vals_b = jnp.concatenate(
+        [
+            _unflat8(e_b),
+            _unflat8(jnp.where(alive, e_b * vx, 0.0)),
+            _unflat8(jnp.where(alive, e_b * vy, 0.0)),
+            _unflat8(jnp.where(alive, e_b * vz, 0.0)),
+            _unflat8(jnp.where(alive, 1.0, 0.0)),
+        ],
+        axis=0,
+    )  # (5, BN)
+    sums_b = jax.lax.dot_general(
+        oh_b, vals_b, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (SV8, 5)
+    bacc_ref[:, :] = bacc_ref[:, :] + jnp.concatenate(
+        [sums_b, jnp.zeros((SV8, 128 - 5), jnp.float32)], axis=1
+    )
+
     # ---- 6. write the drifted tile (per-attribute 2-D stores) --------------
     for c, v in enumerate(
         [
@@ -439,6 +504,7 @@ def _kernel(
     @pl.when(b == nb - 1)
     def _fin():
         ledger_ref[:, :] = acc_ref[:, :]
+        bins_ref[:, :] = bacc_ref[:, :]
 
 
 def drift_megastep(
@@ -456,7 +522,11 @@ def drift_megastep(
     event indices packed into per-block 128-aligned segments
     [starts[b], starts[b] + kept[b]), sentinel _SENT elsewhere —
     pend_counts (nb,) i32, alive_counts (nb,) i32, starts (nb,) i32,
-    kept (nb,) i32, ledger (8, 5) f32)."""
+    kept (nb,) i32, ledger (8, 5) f32, bins (SV8, 5) f32 raw subvolume
+    sums [e, e*vx, e*vy, e*vz, Np] over the lanes that stay in the pool).
+
+    Exported lanes are marked DEAD in packedT' — their live copies ride the
+    event buffer and re-enter at the pool tail (sim/fused.py append)."""
     from nanokappa_tpu.constants import HBAR
     from nanokappa_tpu.geometry.domain import BC
 
@@ -482,11 +552,13 @@ def drift_megastep(
         pair=np.asarray(geo.periodic_pair),
     )
     center = np.asarray(geo.subvol_center)
+    bounds = np.asarray(geo.bounds)
     ax = int(geo.slice_axis)
     c0 = float(center[0, ax]) if SV > 1 else 0.0
     dc = (
         float((center[-1, ax] - center[0, ax]) / (SV - 1)) if SV > 1 else 1.0
     )
+    SV8 = max(8, -(-SV // 8) * 8)
     cfg = dict(
         dt=float(params.dt),
         t_reference=float(params.t_reference),
@@ -504,6 +576,9 @@ def drift_megastep(
         hbar=HBAR,
         bn=bn,
         ecap=ecap,
+        sv8=SV8,
+        lo_b=float(bounds[0, ax]),
+        inv_len=float(SV / (bounds[1, ax] - bounds[0, ax])),
     )
 
     SVP = max(128, -(-SV // 128) * 128)
@@ -534,9 +609,13 @@ def drift_megastep(
             pl.BlockSpec(memory_space=pl.ANY),  # evt_buf: manual DMA
             pl.BlockSpec(memory_space=pltpu.SMEM),  # counts: whole array
             pl.BlockSpec((8, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (SV8, 128), lambda b: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         scratch_shapes=[
             pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((SV8, 128), jnp.float32),
             pltpu.VMEM((1, bn), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
@@ -551,6 +630,7 @@ def drift_megastep(
             jax.ShapeDtypeStruct((1, ecap + bn), jnp.int32, **kw),
             jax.ShapeDtypeStruct((nb, 8), jnp.int32, **kw),
             jax.ShapeDtypeStruct((8, 128), jnp.float32, **kw),
+            jax.ShapeDtypeStruct((SV8, 128), jnp.float32, **kw),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -561,7 +641,7 @@ def drift_megastep(
         input_output_aliases={2: 0},
         interpret=interpret,
     )(tsv, rta, pool4)
-    pool_out, evt_buf, cnts, ledger = outs
+    pool_out, evt_buf, cnts, ledger, bins = outs
     return (
         pool_out.reshape(16, N),
         evt_buf[0],  # (ecap + bn,) segmented ascending event indices
@@ -570,4 +650,5 @@ def drift_megastep(
         cnts[:, 2],  # segment starts (128-aligned)
         cnts[:, 3],  # kept counts (post-ECAP clamp)
         ledger[:, :5],
+        bins[:, :5],  # raw subvolume sums over non-exported lanes
     )

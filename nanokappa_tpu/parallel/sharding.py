@@ -101,16 +101,16 @@ def build_sharded_step(
     step = make_step(geo, mat, btab, rtab, params, axis_name="p")
 
     def run_local(state: SimState):
-        from nanokappa_tpu.sim.step import refresh_tau, reset_ledgers
+        from nanokappa_tpu.sim.step import maybe_refresh_tau, reset_ledgers
 
         def block(state, _=None):
-            state = refresh_tau(state, geo, mat, params)
+            state = maybe_refresh_tau(state, geo, mat, params)
             state, outs = jax.lax.scan(step, state, length=n_inner)
             last = jax.tree.map(lambda x: x[-1], outs)
             return reset_ledgers(state), last
 
         if n_outer == 1:
-            state = refresh_tau(state, geo, mat, params)
+            state = maybe_refresh_tau(state, geo, mat, params)
             state, outs = jax.lax.scan(step, state, length=n_inner)
             last = jax.tree.map(lambda x: x[-1], outs)
         else:
@@ -182,7 +182,7 @@ def build_ensemble_step(
     across it gives ensemble means and error bars.
     params.n_shards must equal the "p" axis size (per-replica rate split).
     """
-    from nanokappa_tpu.sim.step import StepOutputs, refresh_tau
+    from nanokappa_tpu.sim.step import StepOutputs, maybe_refresh_tau
 
     step = make_step(
         geo, mat, btab, rtab, params, axis_name="p", vary_axes=("r", "p")
@@ -194,7 +194,7 @@ def build_ensemble_step(
             state, lost=state.lost.reshape(()), frozen=state.frozen.reshape(()),
             step=state.step.reshape(()),
         )
-        state = refresh_tau(state, geo, mat, params)
+        state = maybe_refresh_tau(state, geo, mat, params)
         state, outs = jax.lax.scan(step, state, length=n_inner)
         last = jax.tree.map(lambda x: x[-1], outs)
         # give every output / scalar a leading replica axis of size 1 so

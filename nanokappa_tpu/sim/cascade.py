@@ -261,6 +261,7 @@ def run_cascade(
         sv_id=state.sv_id,
         T_sv=state.T_sv,
         Np_sv=state.Np_sv,
+        T_tau=state.T_tau,
         free_list=free_list,
         free_count=free_count,
         res_counter=state.res_counter,

@@ -1,4 +1,4 @@
-"""The fused (v2) timestep: two dense Pallas HBM passes + a narrow event stage.
+"""The fused (v2) timestep: ONE dense Pallas HBM pass + a narrow event stage.
 
 Reference semantics preserved (classes/Population.py:1724-1769 run_timestep):
 injection -> drift + boundary cascade -> binning/temperature refresh -> RTA.
@@ -33,13 +33,20 @@ Pipeline per step:
      advances ~inj_cap per step between compactions. The tail pointer lives
      in state.free_count[0] (the free-list itself is idle in v2).
   2. ops/megastep.py drift kernel: deferred RTA + stale ray cast + drift +
-     in-kernel periodic/absorb + per-block event-index compaction, all on
-     dense (8, BN8) registers (ONE HBM pass),
+     in-kernel periodic/absorb + event-index compaction + subvolume binning
+     of every lane that stays, all on dense (8, BN8) registers (ONE HBM
+     pass). Exported lanes are marked dead — they leave the pool,
   3. the narrow event machinery (sim/cascade.py run_event_buffer) handles
      reflections and deep chains on the gathered event rows,
-  4. ops/merge_bin.py merges results back and computes subvolume binning in
-     the same pass,
+  4. the finished event rows are binned at buffer width and APPENDED at the
+     pool tail (the particle bag is unordered — no scatter-back, no merge
+     pass; the round-3 merge+bin pass cost 0.98 ms/step at N=1.25e6),
   5. an O(SV) postlude inverts T(E) and assembles StepOutputs.
+
+Tail-room invariant: appends advance the tail by up to EVT_CAP + inj_cap
+per step and the pool defragments once per compaction interval
+(sim/step.py build_step sizes the interval so the tail cannot reach
+capacity between compactions).
 """
 
 from __future__ import annotations
@@ -52,11 +59,17 @@ import jax.numpy as jnp
 from nanokappa_tpu.constants import EVPSA2_IN_WM2
 from nanokappa_tpu.geometry.device import DeviceGeometry
 from nanokappa_tpu.material.tables import MaterialTables
-from nanokappa_tpu.sim.binning import lookup_E_of_T, lookup_T_of_E
+from nanokappa_tpu.sim.binning import (
+    lookup_E_of_T, lookup_T_of_E, particle_energies, segment_matmul,
+    subvol_id,
+)
 from nanokappa_tpu.sim.boundary_tables import BoundaryTables
 from nanokappa_tpu.sim.cascade import _pad8, run_event_buffer
 from nanokappa_tpu.sim.reservoir import ReservoirTables, sample_injections
-from nanokappa_tpu.sim.state import C_SV, SimParams, SimState
+from nanokappa_tpu.sim.state import (
+    C_ALIVE, C_DEV, C_OMEGA, C_POS, C_SV, C_VEL, SimParams, SimState,
+    _bc_f32,
+)
 
 
 def v2_eligible(geo: DeviceGeometry, params: SimParams) -> bool:
@@ -94,8 +107,7 @@ def make_step_v2(
     axis_name: str | None = None,
     vary_axes: tuple | None = None,
 ):
-    from nanokappa_tpu.ops.megastep import _SENT, drift_megastep, tile_width
-    from nanokappa_tpu.ops.merge_bin import merge_bin
+    from nanokappa_tpu.ops.megastep import drift_megastep, tile_width
     from nanokappa_tpu.sim.step import StepOutputs
 
     interpret = jax.default_backend() == "cpu"
@@ -185,11 +197,12 @@ def make_step_v2(
             tail = state.free_count[0]
             lost_inj = jnp.zeros((), jnp.int32)
 
-        # 2. drift mega-kernel (one dense HBM pass); the kernel itself packs
-        # event indices into per-block 128-aligned segments of ONE global
-        # buffer (the per-block-slot re-gather glue this replaces cost 0.55
-        # ms/step at N=1.25e6)
-        packedT_d, evt_buf, ecnt, _acnt, starts_c, ecnt_c, kledger = (
+        # 2. drift mega-kernel (one dense HBM pass): drift + in-kernel
+        # periodic/absorb + event-index export into 128-aligned segments of
+        # ONE global buffer + subvolume binning of every lane that stays.
+        # Exported lanes leave the pool (marked dead) — their results
+        # re-enter by appending at the tail below, so NO merge pass exists.
+        packedT_d, evt_buf, ecnt, _acnt, _starts_c, ecnt_c, kledger, kbins = (
             drift_megastep(
                 packedT, state.T_sv, state.step > 0, geo, params,
                 ecap=EVT_CAP, interpret=interpret, vma=vary,
@@ -206,25 +219,55 @@ def make_step_v2(
         rows_out, mledger, lost2, frozen2 = run_event_buffer(
             rows, vbuf, geo, mat, btab, params, k_casc, state.T_sv, R8, pvary
         )
-        # target pool index rides row 15 into the merge kernel
-        rows_out = rows_out.at[:, C_SV].set(
-            jax.lax.bitcast_convert_type(
-                jnp.where(vbuf, evt_idx, _SENT), jnp.float32
-            )
+
+        # 4. narrow-stage binning of the event rows (their end-of-step
+        # state); together with the kernel's in-pool sums this partitions
+        # the population exactly (sim/binning.py:124-167 semantics)
+        alive_e = (rows_out[:, C_ALIVE] > 0.5) & vbuf
+        sv_e = subvol_id(geo, rows_out[:, C_POS])
+        e_e = particle_energies(
+            rows_out[:, C_OMEGA], rows_out[:, C_DEV], alive_e,
+            state.T_sv[sv_e], params.t_reference,
+        )
+        vel_e = jnp.where(alive_e[:, None], rows_out[:, C_VEL], 0.0)
+        vals_e = jnp.concatenate(
+            [e_e[:, None], e_e[:, None] * vel_e,
+             alive_e.astype(jnp.float32)[:, None]],
+            axis=1,
+        )  # (E, 5)
+        SV8 = kbins.shape[0]
+        ebins = segment_matmul(
+            vals_e, jnp.where(alive_e, sv_e, SV8), SV8
         )
 
-        # 4. merge + subvolume binning (one full HBM pass)
-        end_evt = starts_c[-1] + ((ecnt_c[-1] + 127) // 128) * 128
-        starts_pad = jnp.concatenate([starts_c, end_evt[None]]).astype(
-            jnp.int32
+        # 5. surviving event rows APPEND at the pool tail (unordered bag —
+        # same contiguous dynamic-update-slice as injections; replaces the
+        # round-3 merge+bin expand-network pass, 0.98 ms/step at N=1.25e6).
+        # The window appends UNCOMPACTED — dead/invalid lanes keep the
+        # window's existing (dead) rows and the tail advances by the full
+        # EVT_CAP, trading ~35% extra tail growth (reclaimed at the next
+        # compaction; build_step's cadence bound already assumes EVT_CAP)
+        # for skipping an EVT_CAP-wide compaction + 16-row gather
+        # (~0.17 ms/step at N=1.25e6)
+        rows_out = rows_out.at[:, C_SV].set(_bc_f32(sv_e))
+        tail_eff = jnp.minimum(tail, N - EVT_CAP)
+        ok_app = tail_eff == tail
+        keep_app = ok_app & alive_e
+        window = jax.lax.dynamic_slice(
+            packedT_d, (0, tail_eff), (16, EVT_CAP)
         )
-        mergedT, bins = merge_bin(
-            packedT_d, rows_out.T, starts_pad, ecnt_c, state.T_sv, geo,
-            params, interpret=interpret, vma=vary,
+        mergedT = jax.lax.dynamic_update_slice(
+            packedT_d,
+            jnp.where(keep_app[None, :], rows_out.T, window),
+            (0, tail_eff),
         )
+        tail = tail + jnp.where(ok_app, EVT_CAP, 0)
+        # dropped LIVE rows: only possible when the pool has no tail room —
+        # sized out by build_step's compaction cadence; counted loudly
+        lost3 = jnp.where(ok_app, 0, jnp.sum(alive_e, dtype=jnp.int32))
 
         # 6. postlude: normalisation + T inversion (sim/binning.py:124-167)
-        sums = psum(bins)[:SV]
+        sums = psum(kbins + ebins)[:SV]
         e_raw = sums[:, 0]
         phi_raw = sums[:, 1:4]
         np_sv = sums[:, 4].astype(jnp.int32)
@@ -251,13 +294,14 @@ def make_step_v2(
             sv_id=state.sv_id,
             T_sv=T_sv_new,
             Np_sv=np_sv,
+            T_tau=state.T_tau,
             free_list=state.free_list,
             free_count=state.free_count.at[0].set(tail),
             res_counter=new_counter,
             n_leaving=ledger[:R, 4].astype(jnp.int32),
             res_energy_balance=state.res_energy_balance - ledger[:R, 0],
             res_heat_flux=state.res_heat_flux + ledger[:R, 1:4],
-            lost=state.lost + psum(lost_inj + lost2),
+            lost=state.lost + psum(lost_inj + lost2 + lost3),
             frozen=state.frozen + psum(frozen_k + frozen2),
             key=state.key,
             step=state.step + 1,

@@ -368,6 +368,7 @@ def inject(
         sv_id=state.sv_id,
         T_sv=state.T_sv,
         Np_sv=state.Np_sv,
+        T_tau=state.T_tau,
         free_list=state.free_list,
         free_count=free_count,
         res_counter=new_counter,

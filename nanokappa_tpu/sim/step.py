@@ -234,16 +234,43 @@ def build_step(geo, mat, btab, rtab, params, n_inner: int = 1, n_outer: int = 1)
 
         interp = jax.default_backend() == "cpu"
 
-        def block(stateT: SimState, _=None):
-            stateT = refresh_tau_T(stateT, geo, mat, params)
+        # Tail-room invariant: each step appends up to EVT_CAP + inj_cap rows
+        # at the pool tail (event re-entry + injections, sim/fused.py) and
+        # only compaction reclaims dead lanes. Compact every m steps with m
+        # sized so the appends cannot outrun ~N/5 of slack (the driver sizes
+        # the pool with >= 25% margin, sim/state.py round_pool_cap callers).
+        N_shard = params.n_cap // max(1, params.n_shards)
+        evt_eff = -(-(
+            params.evt_cap or max(params.inj_cap, N_shard // 64)
+        ) // 128) * 128
+        per_step = evt_eff + params.inj_cap
+        m = max(1, min(n_inner, (N_shard // 5) // max(1, per_step)))
+        while n_inner % m:  # largest divisor of n_inner <= the safe bound
+            m -= 1
+        n_sub = n_inner // m
+
+        def compacted(stateT: SimState) -> SimState:
             pool, tail = compact_pool(stateT.packed, interpret=interp)
-            stateT = dataclasses.replace(
+            return dataclasses.replace(
                 stateT,
                 packed=pool,
                 free_count=stateT.free_count.at[0].set(tail),
             )
-            stateT, outs = jax.lax.scan(step, stateT, length=n_inner)
-            last = jax.tree.map(lambda x: x[-1], outs)
+
+        def sub(stateT: SimState, _=None):
+            stateT = compacted(stateT)
+            stateT, outs = jax.lax.scan(step, stateT, length=m)
+            return stateT, jax.tree.map(lambda x: x[-1], outs)
+
+        def block(stateT: SimState, _=None):
+            stateT = maybe_refresh_tau(
+                stateT, geo, mat, params, fn=refresh_tau_T
+            )
+            if n_sub == 1:
+                stateT, last = sub(stateT)
+            else:
+                stateT, outs = jax.lax.scan(sub, stateT, length=n_sub)
+                last = jax.tree.map(lambda x: x[-1], outs)
             stateT = reset_ledgers(stateT)
             return stateT, last
 
@@ -261,7 +288,7 @@ def build_step(geo, mat, btab, rtab, params, n_inner: int = 1, n_outer: int = 1)
         return run
 
     def block(state: SimState, _=None):
-        state = refresh_tau(state, geo, mat, params)
+        state = maybe_refresh_tau(state, geo, mat, params)
         state, outs = jax.lax.scan(step, state, length=n_inner)
         last = jax.tree.map(lambda x: x[-1], outs)
         state = reset_ledgers(state)
@@ -270,7 +297,7 @@ def build_step(geo, mat, btab, rtab, params, n_inner: int = 1, n_outer: int = 1)
     @jax.jit
     def run(state: SimState):
         if n_outer == 1:
-            state = refresh_tau(state, geo, mat, params)
+            state = maybe_refresh_tau(state, geo, mat, params)
             state, outs = jax.lax.scan(step, state, length=n_inner)
             out = jax.tree.map(lambda x: x[-1], outs)
         else:
@@ -281,6 +308,31 @@ def build_step(geo, mat, btab, rtab, params, n_inner: int = 1, n_outer: int = 1)
         return state, out
 
     return run
+
+
+def maybe_refresh_tau(state: SimState, geo, mat, params, fn=None) -> SimState:
+    """Run the full-width lifetime refresh `fn` ONLY when some subvolume
+    temperature drifted more than params.tau_dT since the last refresh.
+
+    The refresh is one random gather per particle from the (SV, M) lifetime
+    table — the single most expensive XLA op per outer block (~9 ms at
+    N=1.25e6, TPU scalar gathers run ~1.4e8/s). Gating it on measured drift
+    makes the converged plateau free while keeping tau staleness explicitly
+    bounded: |T - T_at_refresh| <= tau_dT (default 0.05 K, a <0.1% lifetime
+    error against the reference's every-step interpolator,
+    classes/Phonon.py:326-336). No collectives run inside the branch, so
+    per-replica divergence under shard_map is safe."""
+    import dataclasses
+
+    if fn is None:
+        fn = refresh_tau
+
+    def do(s):
+        s = fn(s, geo, mat, params)
+        return dataclasses.replace(s, T_tau=s.T_sv)
+
+    pred = jnp.any(jnp.abs(state.T_sv - state.T_tau) > params.tau_dT)
+    return jax.lax.cond(pred, do, lambda s: s, state)
 
 
 def refresh_tau(state: SimState, geo, mat, params) -> SimState:
