@@ -1,28 +1,35 @@
-"""Pool defragmentation: pack all alive columns of the (16, N) pool to an
-(almost) dense prefix, once per outer block (~every 10-20 steps).
+"""Pool defragmentation: pack all alive lanes of the pool to an (almost)
+dense prefix, once per compaction interval (sim/step.py build_step).
 
-The v2 step appends reservoir injections at the pool TAIL (a contiguous
-dynamic-update-slice — no scatter) while absorption kills lanes anywhere, so
-the live region grows by inj_cap per step and accumulates holes. This kernel
-restores density so the tail never reaches the pool capacity: per input
-block, the alive columns are compacted in-register (the 16-row monotone
-log-shift network of ops/scatter_rows.py, in the dense flattened order of
-ops/megastep.py) and DMA'd to the block's global alive-prefix offset.
+The v2 step appends reservoir injections AND finished event rows at the pool
+TAIL (contiguous dynamic-update-slices — no scatter) while absorption kills
+lanes anywhere, so the live region grows every step and accumulates holes.
+This kernel restores density so the tail never reaches the pool capacity:
+per input block, the alive columns are compacted in-register (the 16-row
+monotone log-shift network of ops/scatter_rows.py, in the dense flattened
+order of ops/megastep.py) and DMA'd to the block's global alive-prefix
+offset.
 
 Output offsets are 128-lane aligned per block (computed OUTSIDE from the
 per-block alive counts), so consecutive segments leave < 128 dead filler
 lanes between them — the pool stays >99% dense at production block counts.
 Each block writes a full tile-wide window whose overrun garbage is
-overwritten by the NEXT block's window (TPU grids run sequentially — the same
-trick the drift kernel's event segments used in round 3's first kernel).
-Output lanes past the LAST block's window are never written and carry
-unspecified data; the wrapper rewrites the C_ALIVE row so every lane >= the
-returned tail reads dead, which is the only property downstream kernels rely
-on for unwritten lanes (all physics is alive-masked).
+overwritten by the NEXT block's window (TPU grids run sequentially). Output
+lanes past the LAST block's window are never written and carry unspecified
+data; the wrapper rewrites the C_ALIVE row so every lane >= the returned
+tail reads dead, which is the only property downstream kernels rely on for
+unwritten lanes (all physics is alive-masked).
+
+The wrapper takes and returns the kernel-native 3-D (16, NR, L) pool layout
+of ops/megastep.py. The segment DMA needs 128-LANE aligned dynamic offsets,
+which only a flat (16, N) output layout supports (a (NR, L) row offset would
+have to be 8-row = whole-block aligned under sublane tiling), so the pool
+converts to flat and back INSIDE this wrapper — two layout-conversion copies
+per compaction interval instead of two per step.
 
 The reference has no analogue (np.delete re-packs implicitly at every event,
 classes/Population.py:832-850); this is the fixed-shape equivalent, amortised
-to ~1/10 steps.
+over the compaction interval.
 """
 
 from __future__ import annotations
@@ -42,9 +49,9 @@ from nanokappa_tpu.sim.state import C_ALIVE
 
 def _kernel(starts_ref, in_ref, out_hbm, scratch, sem, *, cfg):
     b = pl.program_id(0)
-    # per-attribute 2-D loads (Mosaic cannot slice the sublane dim of a 3-D
-    # ref view, so the 3-D tile is never materialised)
-    vals = [in_ref[c, 0] for c in range(16)]  # 16 x (8, BN8)
+    # per-attribute 2-D loads: indexing the leading (untiled) dim of the
+    # (16, 8, L) block yields dense (8, L) values
+    vals = [in_ref[c] for c in range(16)]  # 16 x (8, L)
     alive = vals[C_ALIVE] > 0.5
 
     BN = 8 * alive.shape[-1]
@@ -78,18 +85,19 @@ def _kernel(starts_ref, in_ref, out_hbm, scratch, sem, *, cfg):
     cp.wait()
 
 
-def compact_pool(packedT: jax.Array, interpret: bool = False, vma=None):
-    """Defragment the (16, N) pool (N % BN == 0). Returns (packedT', tail):
-    all alive columns packed (order-preserving) into [0, tail), < 128 dead
-    filler lanes per source block; lanes >= tail carry a cleared alive row
-    but otherwise stale data."""
-    C, N = packedT.shape
+def compact_pool(pool3: jax.Array, interpret: bool = False, vma=None):
+    """Defragment the (16, NR, L) pool (NR * L a tile_width multiple).
+    Returns (pool3', tail): all alive lanes packed (order-preserving) into
+    [0, tail) of the flattened lane order, < 128 dead filler lanes per
+    source block; lanes >= tail carry a cleared alive row but otherwise
+    stale data."""
+    C, NR, L = pool3.shape
+    N = NR * L
     bn = tile_width(N)
-    assert C == 16 and bn is not None, (C, N)
-    bn8 = bn // 8
+    assert C == 16 and bn is not None and bn // 8 == L, (C, NR, L)
     nb = N // bn
 
-    alive_row = packedT[C_ALIVE] > 0.5
+    alive_row = pool3[C_ALIVE] > 0.5  # (NR, L)
     acnt = jnp.sum(
         alive_row.reshape(nb, bn).astype(jnp.int32), axis=1
     )  # (nb,)
@@ -99,13 +107,12 @@ def compact_pool(packedT: jax.Array, interpret: bool = False, vma=None):
     ).astype(jnp.int32)  # (nb+1,)
     tail = starts[nb - 1] + acnt[nb - 1]
 
-    pool4 = packedT.reshape(16, nb, 8, bn8)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(
-                (16, 1, 8, bn8), lambda b, *_: (0, b, 0, 0),
+                (16, 8, L), lambda b, *_: (0, b, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -124,12 +131,10 @@ def compact_pool(packedT: jax.Array, interpret: bool = False, vma=None):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(starts, pool4)[0]
+    )(starts, pool3)[0]
 
     # stale pre-compaction data survives past the last written window; kill
     # its alive flags so those lanes are plain dead slots
     lane = jnp.arange(N, dtype=jnp.int32)
-    out = out.at[C_ALIVE].set(
-        jnp.where(lane < tail, out[C_ALIVE], 0.0)
-    )
-    return out, tail
+    out = out.at[C_ALIVE].set(jnp.where(lane < tail, out[C_ALIVE], 0.0))
+    return out.reshape(16, NR, L), tail

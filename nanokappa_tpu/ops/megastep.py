@@ -1,13 +1,16 @@
-"""Fused drift mega-kernel: ONE dense HBM pass over the packed (16, N) state.
+"""Fused drift mega-kernel: ONE dense HBM pass over the packed particle pool.
 
 The round-2 step made ~5 full-width passes per timestep plus an XLA assembly
 pipeline; the first round-3 kernel fused them but ran every vector op on
 (1, BN) rows — one valid sublane out of eight, so the VPU worked at 1/8
 utilisation (measured 2.4 ms of a 7.0 ms step at N=1.25e6). This version
-processes each block as a dense (16, 8, BN8) tile: the pool is VIEWED as
-(16, nb, 8, BN8) outside (a free row-major reshape), so the DMA delivers
-each attribute as a fully-packed (8, BN8) vector register file and every
-elementwise op runs at full sublane occupancy. Per tile, entirely in VMEM:
+processes each block as a dense (16, 8, BN8) tile: the pool RIDES in the
+kernel-native 3-D (16, NR, L) layout through the entire scan (L = BN // 8;
+lane p of attribute c at [c, p // L, p % L]), so the DMA delivers each
+attribute as a fully-packed (8, BN8) vector register file, every elementwise
+op runs at full sublane occupancy, and NO layout-conversion copy of the pool
+exists anywhere in the per-step path (the (16, N) <-> blocked retile pair
+cost 0.24 ms/step at N=1.25e6). Per tile, entirely in VMEM:
 
   1. deferred RTA relaxation — the previous step's lifetime scattering
      (reference classes/Population.py:1701-1710) applied at the START of the
@@ -188,8 +191,8 @@ def _box_raycast(pos, vel, exclude, tables, do):
 def _kernel(
     tsv_ref,  # (1, SVP) f32 SMEM subvolume temperatures (padded)
     rta_ref,  # (1, 1) i32 SMEM: apply deferred RTA this step?
-    in_ref,  # (16, 1, 8, BN8) packed tile
-    out_ref,  # (16, 1, 8, BN8) drifted tile
+    in_ref,  # (16, 8, BN8) packed tile (a block of the (16, NR, L) pool)
+    out_ref,  # (16, 8, BN8) drifted tile
     evt_hbm,  # (1, ECAP + BN) i32 global event-index buffer (ANY, manual DMA)
     cnt_ref,  # (nb, 8) i32 SMEM (whole array):
     #   [pend_count, alive_count, seg_start, seg_kept, ...]
@@ -230,21 +233,21 @@ def _kernel(
     i32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
     bc32 = lambda a: jax.lax.bitcast_convert_type(a, f32)  # noqa: E731
 
-    px = in_ref[0, 0]
-    py = in_ref[1, 0]
-    pz = in_ref[2, 0]
-    vx = in_ref[3, 0]
-    vy = in_ref[4, 0]
-    vz = in_ref[5, 0]
-    omega = in_ref[C_OMEGA, 0]
-    tau = in_ref[C_TAU, 0]
-    dev = in_ref[C_DEV, 0]
-    mode_b = in_ref[C_MODE, 0]  # opaque bits, passed through
-    cf = i32(in_ref[C_CF, 0])
-    t_coll = in_ref[C_TCOLL, 0]
-    onf = i32(in_ref[C_ONF, 0])
-    rem_col = in_ref[C_REM, 0]
-    alive = (in_ref[C_ALIVE, 0] > 0.5) & in_pool
+    px = in_ref[0]
+    py = in_ref[1]
+    pz = in_ref[2]
+    vx = in_ref[3]
+    vy = in_ref[4]
+    vz = in_ref[5]
+    omega = in_ref[C_OMEGA]
+    tau = in_ref[C_TAU]
+    dev = in_ref[C_DEV]
+    mode_b = in_ref[C_MODE]  # opaque bits, passed through
+    cf = i32(in_ref[C_CF])
+    t_coll = in_ref[C_TCOLL]
+    onf = i32(in_ref[C_ONF])
+    rem_col = in_ref[C_REM]
+    alive = (in_ref[C_ALIVE] > 0.5) & in_pool
     # position-derived subvolume id (slice domains are index arithmetic) —
     # identical to the C_SV column the round-3 merge kernel used to refresh,
     # since nothing moves between a step's binning and the next step's drift
@@ -499,7 +502,7 @@ def _kernel(
             bc32(sv),
         ]
     ):
-        out_ref[c, 0] = v
+        out_ref[c] = v
 
     @pl.when(b == nb - 1)
     def _fin():
@@ -508,7 +511,11 @@ def _kernel(
 
 
 def drift_megastep(
-    packedT: jax.Array,  # (16, N) f32 transposed packed pool, N % BN == 0
+    pool3: jax.Array,  # (16, NR, L) f32 pool in the kernel-native 3-D
+    #   layout (L = tile_width(N) // 8, NR = N // L): lane p of attribute c
+    #   lives at [c, p // L, p % L]. Carrying THIS layout through the whole
+    #   scan removes the two per-step (16, N) <-> blocked retile copies
+    #   (0.24 ms/step at N=1.25e6 in the round-3 trace).
     T_sv: jax.Array,  # (SV,) f32
     rta_on: jax.Array,  # () i32/bool — apply the deferred RTA this step?
     geo,  # DeviceGeometry (host constants are baked in statically)
@@ -518,22 +525,23 @@ def drift_megastep(
     interpret: bool = False,
     vma=None,
 ):
-    """Returns (packedT' (16, N), evt_buf (ecap + BN,) i32 — ascending
+    """Returns (pool3' (16, NR, L), evt_buf (ecap + BN,) i32 — ascending
     event indices packed into per-block 128-aligned segments
     [starts[b], starts[b] + kept[b]), sentinel _SENT elsewhere —
     pend_counts (nb,) i32, alive_counts (nb,) i32, starts (nb,) i32,
     kept (nb,) i32, ledger (8, 5) f32, bins (SV8, 5) f32 raw subvolume
     sums [e, e*vx, e*vy, e*vz, Np] over the lanes that stay in the pool).
 
-    Exported lanes are marked DEAD in packedT' — their live copies ride the
+    Exported lanes are marked DEAD in pool3' — their live copies ride the
     event buffer and re-enter at the pool tail (sim/fused.py append)."""
     from nanokappa_tpu.constants import HBAR
     from nanokappa_tpu.geometry.domain import BC
 
-    C, N = packedT.shape
+    C, NR, L = pool3.shape
+    N = NR * L
     bn = tile_width(N)
-    assert C == 16 and bn is not None, (C, N)
-    bn8 = bn // 8
+    assert C == 16 and bn is not None and bn // 8 == L, (C, NR, L)
+    bn8 = L
     nb = N // bn
     SV = int(T_sv.shape[0])
 
@@ -584,7 +592,6 @@ def drift_megastep(
     SVP = max(128, -(-SV // 128) * 128)
     tsv = jnp.zeros((1, SVP), jnp.float32).at[0, :SV].set(T_sv)
     rta = jnp.asarray(rta_on, jnp.int32).reshape(1, 1)
-    pool4 = packedT.reshape(16, nb, 8, bn8)
     if ecap <= 0:
         ecap = max(2048, -(-(N // 64) // 128) * 128)
     assert ecap % 128 == 0
@@ -597,13 +604,13 @@ def drift_megastep(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # T_sv: scalar reads
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (16, 1, 8, bn8), lambda b: (0, b, 0, 0),
+                (16, 8, bn8), lambda b: (0, b, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (16, 1, 8, bn8), lambda b: (0, b, 0, 0),
+                (16, 8, bn8), lambda b: (0, b, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),  # evt_buf: manual DMA
@@ -626,7 +633,7 @@ def drift_megastep(
         partial(_kernel, tables=tables, cfg=cfg),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((16, nb, 8, bn8), jnp.float32, **kw),
+            jax.ShapeDtypeStruct((16, NR, L), jnp.float32, **kw),
             jax.ShapeDtypeStruct((1, ecap + bn), jnp.int32, **kw),
             jax.ShapeDtypeStruct((nb, 8), jnp.int32, **kw),
             jax.ShapeDtypeStruct((8, 128), jnp.float32, **kw),
@@ -640,10 +647,10 @@ def drift_megastep(
         # pool footprint and lets XLA drop a defensive copy
         input_output_aliases={2: 0},
         interpret=interpret,
-    )(tsv, rta, pool4)
+    )(tsv, rta, pool3)
     pool_out, evt_buf, cnts, ledger, bins = outs
     return (
-        pool_out.reshape(16, N),
+        pool_out,
         evt_buf[0],  # (ecap + bn,) segmented ascending event indices
         cnts[:, 0],  # full pending-event counts
         cnts[:, 1],  # alive counts

@@ -72,6 +72,10 @@ from nanokappa_tpu.sim.state import (
 )
 
 
+FORCE_INTERPRET = False  # debug knob: run the Pallas kernels in interpret
+#   mode even on TPU (scripts/; Mosaic-vs-interpret A/B isolation)
+
+
 def v2_eligible(geo: DeviceGeometry, params: SimParams) -> bool:
     """The fused step covers the production envelope: axis-aligned box
     geometry + slice subvolumes + nearest/linear interpolation + a pool
@@ -98,6 +102,55 @@ def v2_eligible(geo: DeviceGeometry, params: SimParams) -> bool:
     return jax.default_backend() != "cpu"
 
 
+def _append_window(
+    pool3: jax.Array,  # (16, NR, L) kernel-native pool layout
+    rows_T: jax.Array,  # (16, cap) rows to append
+    valid: jax.Array,  # (cap,) bool — which lanes actually land
+    tail: jax.Array,  # () i32 flattened-lane append position
+):
+    """Append `rows_T` at flattened lanes [tail, tail + cap) of the 3-D pool
+    with ONE rectangular dynamic-update-slice over whole L-lane rows.
+
+    The window spans the rows covering the range; the rows are PLACED at the
+    in-row offset with a dynamic-update-slice into a zero staging buffer (a
+    SMALL (16, ~cap) op — never the pool). NOT jnp.roll: a dynamic-shift
+    roll on TPU lowers through an arithmetic path that canonicalises NaNs
+    and flushes denormals, which corrupts the bitcast integer columns of the
+    packed rows (C_CF = STALE(-2) is a NaN payload; small mode/facet ids are
+    denormals) — dynamic_update_slice is pure data movement and
+    bit-preserving. Lanes outside [tail, tail + cap) or with valid=False
+    keep the window's existing content. Returns (pool3', ok); ok=False means
+    the pool had no tail room and NOTHING was written (callers count the
+    drop)."""
+    C, NR, L = pool3.shape
+    cap = rows_T.shape[1]
+    N = NR * L
+    capk = cap // L + 2  # rows covering off + cap for any in-row offset
+    row_t = jnp.minimum(tail // L, NR - capk)
+    ok = tail + cap <= N
+    # row_t clamping keeps the slice in bounds; given ok, the in-window
+    # offset always satisfies off + cap <= capk * L (at the clamp,
+    # off <= N - cap - (NR - capk) * L = capk * L - cap), so the placed
+    # rows never clip
+    off = jnp.maximum(tail - row_t * L, 0)
+    window = jax.lax.dynamic_slice(pool3, (0, row_t, 0), (16, capk, L))
+    flat = window.reshape(16, capk * L)
+    src = jax.lax.dynamic_update_slice(
+        jnp.zeros((16, capk * L), rows_T.dtype), rows_T, (0, off)
+    )
+    vmask = jax.lax.dynamic_update_slice(
+        jnp.zeros(capk * L, bool), valid, (off,)
+    )
+    keep = ok & vmask
+    new_flat = jnp.where(keep[None, :], src, flat)
+    return (
+        jax.lax.dynamic_update_slice(
+            pool3, new_flat.reshape(16, capk, L), (0, row_t, 0)
+        ),
+        ok,
+    )
+
+
 def make_step_v2(
     geo: DeviceGeometry,
     mat: MaterialTables,
@@ -110,7 +163,7 @@ def make_step_v2(
     from nanokappa_tpu.ops.megastep import drift_megastep, tile_width
     from nanokappa_tpu.sim.step import StepOutputs
 
-    interpret = jax.default_backend() == "cpu"
+    interpret = jax.default_backend() == "cpu" or FORCE_INTERPRET
 
     if axis_name is None:
         psum = lambda x: x  # noqa: E731
@@ -137,15 +190,21 @@ def make_step_v2(
     SV = geo.n_subvols
 
     def step(state: SimState, _=None):
-        # inside build_step's scan the pool rides TRANSPOSED (16, N); direct
+        # inside build_step's scan the pool rides in the kernel-native 3-D
+        # layout (16, NR, L) (see ops/megastep.py drift_megastep); direct
         # make_step callers pass the plain (N, 16) layout — honour both (the
         # orientation is static at trace time)
-        plain_layout = state.packed.shape[1] == 16
-        packedT = state.packed.T if plain_layout else state.packed
-        C, N = packedT.shape
+        plain_layout = state.packed.ndim == 2
+        if plain_layout:
+            N = state.packed.shape[0]
+            L = tile_width(N) // 8
+            pool3 = state.packed.T.reshape(16, N // L, L)
+        else:
+            pool3 = state.packed
+        C, NR, L = pool3.shape
+        N = NR * L
         BN = tile_width(N)
-        assert C == 16 and BN is not None, (C, N)
-        nb = N // BN
+        assert C == 16 and BN is not None and BN // 8 == L, (C, NR, L)
         if plain_layout:
             # direct make_step callers never see build_step's per-block
             # defragmentation, and init_state spreads particles across the
@@ -153,9 +212,7 @@ def make_step_v2(
             # dense alive prefix, so compact every step on this compat path
             from nanokappa_tpu.ops.compact_pool import compact_pool
 
-            packedT, tail0 = compact_pool(
-                packedT, interpret=interpret, vma=vary
-            )
+            pool3, tail0 = compact_pool(pool3, interpret=interpret, vma=vary)
             state = dataclasses.replace(
                 state, free_count=state.free_count.at[0].set(tail0)
             )
@@ -181,15 +238,8 @@ def make_step_v2(
                 state, geo, mat, rtab, params, k_inj, shard_idx()
             )
             tail = state.free_count[0]
-            tail_eff = jnp.minimum(tail, N - cap)
-            ok = tail_eff == tail
-            window = jax.lax.dynamic_slice(packedT, (0, tail_eff), (16, cap))
-            keep = ok & (jnp.arange(cap, dtype=jnp.int32) < n_valid)
-            packedT = jax.lax.dynamic_update_slice(
-                packedT,
-                jnp.where(keep[None, :], inj_rows.T, window),
-                (0, tail_eff),
-            )
+            valid_inj = jnp.arange(cap, dtype=jnp.int32) < n_valid
+            pool3, ok = _append_window(pool3, inj_rows.T, valid_inj, tail)
             tail = tail + jnp.where(ok, n_valid, 0)
             lost_inj = dropped + jnp.where(ok, 0, n_valid)
         else:
@@ -202,19 +252,42 @@ def make_step_v2(
         # ONE global buffer + subvolume binning of every lane that stays.
         # Exported lanes leave the pool (marked dead) — their results
         # re-enter by appending at the tail below, so NO merge pass exists.
-        packedT_d, evt_buf, ecnt, _acnt, _starts_c, ecnt_c, kledger, kbins = (
+        pool3_d, evt_buf, ecnt, _acnt, starts_c, ecnt_c, kledger, kbins = (
             drift_megastep(
-                packedT, state.T_sv, state.step > 0, geo, params,
+                pool3, state.T_sv, state.step > 0, geo, params,
                 ecap=EVT_CAP, interpret=interpret, vma=vary,
             )
         )
         frozen_k = jnp.sum(ecnt - ecnt_c)
         evt_idx = evt_buf[:EVT_CAP]
 
-        # 3. event machinery on the gathered rows (reflections, deep chains)
-        vbuf = evt_idx < N
+        # Buffer-lane validity from the per-block segment extents: lanes
+        # beyond the LAST block's DMA window are UNINITIALISED device memory
+        # (each block sentinel-fills only its own window; when few events
+        # occur, coverage [0, starts[-1] + BN) can stop short of EVT_CAP and
+        # the tail garbage can alias real pool indices — duplicating alive
+        # rows through the append path). The per-block valid intervals
+        # [start, start + kept) are disjoint and never overwritten (the next
+        # start is 128-aligned past the previous interval), so validity is
+        # membership in ANY interval — one (EVT_CAP, nb) compare matrix, no
+        # gathers (jnp.searchsorted here lowered to a scalar binary-search
+        # while loop: 1.0 ms/step at EVT_CAP=19.5k).
+        lane_b = jnp.arange(EVT_CAP, dtype=jnp.int32)[:, None]
+        seg_valid = jnp.any(
+            (lane_b >= starts_c[None, :])
+            & (lane_b < (starts_c + ecnt_c)[None, :]),
+            axis=1,
+        )
+
+        # 3. event machinery on the gathered rows (reflections, deep chains).
+        # The flat view for the row gather costs one layout-conversion copy
+        # of the pool; the (row, lane) 2-index gather on the 3-D layout
+        # avoided it but ran 0.46 ms/step vs 0.25 for copy + flat take
+        # (round-3 trace at N=1.25e6)
+        vbuf = (evt_idx < N) & seg_valid
+        idx_c = jnp.minimum(evt_idx, N - 1)
         rows = jnp.take(
-            packedT_d, jnp.minimum(evt_idx, N - 1), axis=1, mode="clip"
+            pool3_d.reshape(16, N), idx_c, axis=1, mode="clip"
         ).T
         rows_out, mledger, lost2, frozen2 = run_event_buffer(
             rows, vbuf, geo, mat, btab, params, k_casc, state.T_sv, R8, pvary
@@ -250,16 +323,8 @@ def make_step_v2(
         # for skipping an EVT_CAP-wide compaction + 16-row gather
         # (~0.17 ms/step at N=1.25e6)
         rows_out = rows_out.at[:, C_SV].set(_bc_f32(sv_e))
-        tail_eff = jnp.minimum(tail, N - EVT_CAP)
-        ok_app = tail_eff == tail
-        keep_app = ok_app & alive_e
-        window = jax.lax.dynamic_slice(
-            packedT_d, (0, tail_eff), (16, EVT_CAP)
-        )
-        mergedT = jax.lax.dynamic_update_slice(
-            packedT_d,
-            jnp.where(keep_app[None, :], rows_out.T, window),
-            (0, tail_eff),
+        pool3_m, ok_app = _append_window(
+            pool3_d, rows_out.T, alive_e, tail
         )
         tail = tail + jnp.where(ok_app, EVT_CAP, 0)
         # dropped LIVE rows: only possible when the pool has no tail room —
@@ -290,7 +355,9 @@ def make_step_v2(
 
         ledger = psum(kledger[:R8] + mledger)
         new_state = SimState(
-            packed=mergedT.T if plain_layout else mergedT,
+            packed=(
+                pool3_m.reshape(16, N).T if plain_layout else pool3_m
+            ),
             sv_id=state.sv_id,
             T_sv=T_sv_new,
             Np_sv=np_sv,
@@ -325,26 +392,38 @@ def make_step_v2(
 
 
 def to_transposed(state: SimState) -> SimState:
-    """Enter the v2 scan convention: state.packed -> (16, N)."""
-    return dataclasses.replace(state, packed=state.packed.T)
+    """Enter the v2 scan convention: state.packed -> the kernel-native 3-D
+    (16, NR, L) layout (lane p of attribute c at [c, p // L, p % L]). One
+    layout-conversion copy per run() boundary instead of two per step."""
+    from nanokappa_tpu.ops.megastep import tile_width
+
+    N = state.packed.shape[0]
+    L = tile_width(N) // 8
+    return dataclasses.replace(
+        state, packed=state.packed.T.reshape(16, N // L, L)
+    )
 
 
 def from_transposed(state: SimState) -> SimState:
     """Leave the v2 scan convention: state.packed -> (N, 16)."""
-    return dataclasses.replace(state, packed=state.packed.T)
+    C, NR, L = state.packed.shape
+    return dataclasses.replace(
+        state, packed=state.packed.reshape(16, NR * L).T
+    )
 
 
 def refresh_tau_T(stateT: SimState, geo, mat, params) -> SimState:
-    """Transposed-pool variant of sim/step.py refresh_tau (outer-block-
-    cadence lifetime refresh): row reads on the (16, N) pool are contiguous,
-    so no layout conversion is needed."""
+    """3-D-pool variant of sim/step.py refresh_tau (drift-gated lifetime
+    refresh). Runs inside maybe_refresh_tau's cond branch, so the flat-view
+    layout conversions here cost nothing on the converged plateau."""
     from nanokappa_tpu.sim.binning import interp_T_particles, subvol_id
     from nanokappa_tpu.sim.scatter import lifetime_by_sv, lifetime_lookup
     from nanokappa_tpu.sim.state import (
         C_ALIVE, C_MODE, C_TAU, _bc_i32,
     )
 
-    pT = stateT.packed
+    C, NR, L = stateT.packed.shape
+    pT = stateT.packed.reshape(16, NR * L)
     pos = pT[0:3].T
     mode = _bc_i32(pT[C_MODE])
     alive = pT[C_ALIVE] > 0.5
@@ -357,7 +436,9 @@ def refresh_tau_T(stateT: SimState, geo, mat, params) -> SimState:
         )
         tau = lifetime_lookup(mat, T_p, mode)
     packed = pT.at[C_TAU].set(jnp.where(alive, tau, pT[C_TAU]))
-    return dataclasses.replace(stateT, packed=packed)
+    return dataclasses.replace(
+        stateT, packed=packed.reshape(16, NR, L)
+    )
 
 
 def make_finalize(geo, mat, params):

@@ -232,7 +232,9 @@ def build_step(geo, mat, btab, rtab, params, n_inner: int = 1, n_outer: int = 1)
             from_transposed, refresh_tau_T, to_transposed,
         )
 
-        interp = jax.default_backend() == "cpu"
+        from nanokappa_tpu.sim import fused as _fused
+
+        interp = jax.default_backend() == "cpu" or _fused.FORCE_INTERPRET
 
         # Tail-room invariant: each step appends up to EVT_CAP + inj_cap rows
         # at the pool tail (event re-entry + injections, sim/fused.py) and
