@@ -37,9 +37,14 @@ from nanokappa_tpu.sim.state import SimParams, SimState, STALE
 class ReservoirTables:
     enter_prob: jax.Array  # (R,M) f32
     enter_cdf: jax.Array  # (R,M) f32 normalised cumulative enter_prob
-    enter_alias_p: jax.Array  # (R,M) f32 Walker alias acceptance
-    enter_alias_i: jax.Array  # (R,M) i32 Walker alias partner
+    enter_alias: jax.Array  # (R,M,2) f32 Walker alias [accept p, bitcast
+    #   partner id] — ONE row gather per draw instead of two scalar gathers
     enter_lambda: jax.Array  # (R,) f32 total entry rate per reservoir
+    inj_props: jax.Array  # (R,M,5) f32 per-(reservoir, mode) injection
+    #   properties [omega, vx, vy, vz, tau(T_res)]: collapses the separate
+    #   omega_vel (M,4) and tau_pair (nT,M,2) gathers of the injection
+    #   sampler into one contiguous row gather from a small table — at a
+    #   31^3 mode table the tau_pair gather alone touched 71 MB
     n_reservoirs: int = field(metadata=dict(static=True))
 
 
@@ -57,9 +62,9 @@ def build_reservoir_tables(
         return ReservoirTables(
             enter_prob=jnp.zeros((0, M), dtype=dtype),
             enter_cdf=jnp.ones((0, M), dtype=dtype),
-            enter_alias_p=jnp.ones((0, M), dtype=dtype),
-            enter_alias_i=jnp.zeros((0, M), dtype=jnp.int32),
+            enter_alias=jnp.zeros((0, M, 2), dtype=dtype),
             enter_lambda=jnp.zeros(0, dtype=dtype),
+            inj_props=jnp.zeros((0, M, 5), dtype=dtype),
             n_reservoirs=0,
         )
     v = mat.group_vel.reshape(M, 3)
@@ -76,12 +81,36 @@ def build_reservoir_tables(
     ai = np.zeros((R, M), dtype=np.int64)
     for r in range(R):
         ap[r], ai[r] = build_alias(ep[r])
+    alias = np.stack(
+        [ap.astype(np.float32), ai.astype(np.int32).view(np.float32)],
+        axis=-1,
+    )
+
+    # per-(reservoir, mode) injection properties at the reservoir
+    # temperature (flux facets read 0 K after nan_to_num, clamping the
+    # lifetime lerp at the table edge — same as geometry/device.py:142)
+    T_res = np.nan_to_num(np.asarray(domain.res_values, dtype=np.float64))
+    tau_T = np.asarray(mat.tau_T, dtype=np.float64)
+    tau2d = np.asarray(mat.tau, dtype=np.float64).reshape(len(tau_T), M)
+    nT = len(tau_T)
+    ti = np.clip(np.searchsorted(tau_T, T_res) - 1, 0, max(nT - 2, 0))
+    hi = np.minimum(ti + 1, nT - 1)
+    w = np.clip(
+        (T_res - tau_T[ti]) / np.maximum(tau_T[hi] - tau_T[ti], 1e-30),
+        0.0, 1.0,
+    )
+    tau_res = tau2d[ti] * (1.0 - w)[:, None] + tau2d[hi] * w[:, None]
+    om = np.asarray(mat.omega).reshape(1, M).repeat(R, axis=0)
+    props = np.concatenate(
+        [om[:, :, None], v.reshape(1, M, 3).repeat(R, axis=0),
+         tau_res[:, :, None]], axis=-1
+    )
     return ReservoirTables(
         enter_prob=jnp.asarray(ep, dtype=dtype),
         enter_cdf=jnp.asarray(cdf, dtype=dtype),
-        enter_alias_p=jnp.asarray(ap, dtype=dtype),
-        enter_alias_i=jnp.asarray(ai, dtype=jnp.int32),
+        enter_alias=jnp.asarray(alias, dtype=dtype),
         enter_lambda=jnp.asarray(ep.sum(axis=1), dtype=dtype),
+        inj_props=jnp.asarray(props, dtype=dtype),
         n_reservoirs=R,
     )
 
@@ -221,12 +250,14 @@ def sample_injections(
         )
         inj_res = jnp.minimum(inj_res, R - 1)
         inj_valid = lane < jnp.minimum(boundaries[-1], cap)
-        M_tab = rtab.enter_alias_p.shape[1]
+        M_tab = rtab.enter_alias.shape[1]
         jdraw = jax.random.randint(k_counts, (cap,), 0, M_tab)
         u = jax.random.uniform(k_oto, (cap,))
-        accept = u < rtab.enter_alias_p[inj_res, jdraw]
+        pa = rtab.enter_alias[inj_res, jdraw]  # (cap,2): one row gather
+        accept = u < pa[:, 0]
         inj_mode = jnp.where(
-            accept, jdraw, rtab.enter_alias_i[inj_res, jdraw]
+            accept, jdraw,
+            jax.lax.bitcast_convert_type(pa[:, 1], jnp.int32),
         ).astype(jnp.int32)
         inj_dtin = (params.dt * jax.random.uniform(k_dtin, (cap,))).astype(
             jnp.float32
@@ -285,14 +316,14 @@ def sample_injections(
         + b[:, 1:] * geo.tri_e2[tri]
     )
 
-    # occupation at reservoir temperature (classes/Population.py:505-506)
-    from nanokappa_tpu.sim.scatter import lifetime_lookup
-
+    # occupation at reservoir temperature (classes/Population.py:505-506);
+    # omega/velocity/tau(T_res) come from ONE row gather over the combined
+    # (R,M,5) injection table (rtab.inj_props)
     T_res = geo.res_temperature[inj_res]
-    ov = mat.omega_vel[inj_mode]  # (cap,4): omega + velocity, one row gather
-    inj_omega = ov[:, 0]
-    inj_vel = ov[:, 1:4]
-    inj_tau = lifetime_lookup(mat, T_res, inj_mode)
+    props = rtab.inj_props[inj_res, inj_mode]  # (cap,5)
+    inj_omega = props[:, 0]
+    inj_vel = props[:, 1:4]
+    inj_tau = props[:, 4]
     inj_dev = occupation_delta_T(T_res, params.t_reference, inj_omega)
     inj_facet = geo.res_facet[inj_res]
 

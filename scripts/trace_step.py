@@ -61,7 +61,8 @@ def main():
     n = float(sys.argv[1]) if len(sys.argv) > 1 else 1e6
     n_top = int(sys.argv[2]) if len(sys.argv) > 2 else 24
     mesh_pts = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    run, state = build(n, mesh_pts, n_inner=20)
+    res_gen = sys.argv[4] if len(sys.argv) > 4 else "constant"
+    run, state = build(n, mesh_pts, n_inner=20, res_gen=res_gen)
 
     lowered = run.lower(state)
     compiled = lowered.compile()
