@@ -452,7 +452,7 @@ class Simulation:
                         f"WARNING: {d_frozen} boundary events frozen in the "
                         f"last 100 steps (event buffer overflow) — rerun "
                         f"with a larger evt_cap (current "
-                        f"{self.params.evt_cap or self.params.n_cap // 16})",
+                        f"{self.params.evt_cap or max(self.params.inj_cap, self.params.n_cap // 64)})",
                         flush=True,
                     )
                 # escape self-healing, sharded or not: the check is pure

@@ -44,10 +44,15 @@ class BoundaryTables:
     diffuse_cdf: jax.Array  # (NU, M) f32 normalised cumulative creation rate
     diffuse_prob: jax.Array  # (NU, M) f32 Walker alias acceptance probability
     diffuse_alias: jax.Array  # (NU, M) i32 Walker alias partner mode
-    # combined 2-wide rows for the event cascade (one row gather instead of
-    # two scalar gathers; int columns carried bitcast as f32)
-    spec_corr: jax.Array  # (NU, M, 2) f32 [specularity, bitcast(corr)]
-    diff_pa: jax.Array  # (NU, M, 2) f32 [alias prob, bitcast(alias idx)]
+    # combined rows for the event cascade: ONE row gather yields the
+    # branch decision AND the outgoing mode's cached properties, so the
+    # reflection path needs no follow-up (M,4) omega_vel gather (0.1 ms/step
+    # at a 31^3 table, EVT width). Int columns carried bitcast as f32.
+    spec_corr: jax.Array  # (NU, M, 8) f32 [specularity, bitcast(corr),
+    #   omega[corr], v[corr] (3), 0, 0]
+    diff_pa: jax.Array  # (NU, M, 10) f32 [alias prob, bitcast(alias idx),
+    #   omega[m], v[m] (3), omega[alias], v[alias] (3)] — m is the row's own
+    #   mode (the uniform draw j indexes this table directly)
     row_of_rough: jax.Array  # (NR,) i32 rough facet -> table row
     degen_partner: jax.Array  # (M,) i32 partner branch mode or -1 ('k' model)
     n_rough: int = field(metadata=dict(static=True))
@@ -60,6 +65,37 @@ def _combine_f32_i32(f: np.ndarray, i: np.ndarray) -> np.ndarray:
     return np.stack(
         [f.astype(np.float32), i.astype(np.int32).view(np.float32)], axis=-1
     )
+
+
+def _spec_ext(mat: Material, spec: np.ndarray, corr: np.ndarray) -> np.ndarray:
+    """(NU, M, 8) specular rows [p, bitcast(corr), omega[corr], v[corr](3),
+    0, 0]; rows without a correspondence carry zeros (unreachable: specular
+    requires corr >= 0)."""
+    NU, M = spec.shape
+    v, omega, _ = _mode_tables(mat)
+    cc = np.maximum(corr, 0)
+    out = np.zeros((NU, M, 8), np.float32)
+    out[:, :, 0] = spec
+    out[:, :, 1] = corr.astype(np.int32).view(np.float32)
+    out[:, :, 2] = np.where(corr >= 0, omega[cc], 0.0)
+    out[:, :, 3:6] = np.where((corr >= 0)[:, :, None], v[cc], 0.0)
+    return out
+
+
+def _diff_ext(mat: Material, aprob: np.ndarray, aidx: np.ndarray) -> np.ndarray:
+    """(NU, M, 10) diffuse-alias rows [p, bitcast(alias), omega[m], v[m](3),
+    omega[alias], v[alias](3)] — indexed by the uniform draw j = m, so both
+    alias outcomes' cached properties ride the same row gather."""
+    NU, M = aprob.shape
+    v, omega, _ = _mode_tables(mat)
+    out = np.zeros((NU, M, 10), np.float32)
+    out[:, :, 0] = aprob
+    out[:, :, 1] = aidx.astype(np.int32).view(np.float32)
+    out[:, :, 2] = omega[None, :]
+    out[:, :, 3:6] = v[None, :, :]
+    out[:, :, 6] = omega[aidx]
+    out[:, :, 7:10] = v[aidx]
+    return out
 
 
 def _mode_tables(mat: Material):
@@ -280,10 +316,10 @@ def build_boundary_tables(
             diffuse_prob=jnp.ones((1, M), dtype=dtype),
             diffuse_alias=jnp.zeros((1, M), dtype=jnp.int32),
             spec_corr=jnp.asarray(
-                _combine_f32_i32(np.zeros((1, M)), np.full((1, M), -1, np.int32))
+                _spec_ext(mat, np.zeros((1, M)), np.full((1, M), -1, np.int64))
             ),
             diff_pa=jnp.asarray(
-                _combine_f32_i32(np.ones((1, M)), np.zeros((1, M), np.int32))
+                _diff_ext(mat, np.ones((1, M)), np.zeros((1, M), np.int64))
             ),
             row_of_rough=jnp.zeros(0, dtype=jnp.int32),
             degen_partner=jnp.asarray(_degen_partner(mat), dtype=jnp.int32),
@@ -342,8 +378,8 @@ def build_boundary_tables(
         diffuse_cdf=jnp.asarray(cdf, dtype=dtype),
         diffuse_prob=jnp.asarray(aprob, dtype=dtype),
         diffuse_alias=jnp.asarray(aidx, dtype=jnp.int32),
-        spec_corr=jnp.asarray(_combine_f32_i32(spec, corr.astype(np.int32))),
-        diff_pa=jnp.asarray(_combine_f32_i32(aprob, aidx.astype(np.int32))),
+        spec_corr=jnp.asarray(_spec_ext(mat, spec, corr)),
+        diff_pa=jnp.asarray(_diff_ext(mat, aprob, aidx)),
         row_of_rough=jnp.asarray(row_of_rough, dtype=jnp.int32),
         degen_partner=jnp.asarray(_degen_partner(mat), dtype=jnp.int32),
         n_rough=NR,

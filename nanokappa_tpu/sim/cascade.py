@@ -496,7 +496,9 @@ def _event_round(
         btab.row_of_rough[i_rough] if btab.n_rough > 0 else jnp.zeros_like(i_rough)
     )
     i32b = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
-    sc = btab.spec_corr[row, b.mode]  # (E,2): one row gather, two lookups
+    # ONE row gather yields the specularity decision AND the correspondence
+    # mode's cached omega/velocity (sim/boundary_tables.py _spec_ext)
+    sc = btab.spec_corr[row, b.mode]  # (E,8)
     p_spec = sc[:, 0]
     corr_m = i32b(sc[:, 1])
     u_spec = jax.random.uniform(k_spec, p_spec.shape)
@@ -504,25 +506,35 @@ def _event_round(
     diff = ref & ~spec
 
     mode_spec = jnp.where(spec, corr_m, b.mode)
+
+    # diffuse re-emission by Walker alias sampling; both alias outcomes'
+    # cached properties ride the same row (_diff_ext), so no follow-up
+    # omega_vel gather is needed on the velocity model
+    M = btab.diffuse_prob.shape[1]
+    j = jax.random.randint(k_diff1, p_spec.shape, 0, M)
+    u = jax.random.uniform(k_diff2, p_spec.shape)
+    pa = btab.diff_pa[row, j]  # (E,10)
+    accept = u < pa[:, 0]
+    mode_diff = jnp.where(accept, j, i32b(pa[:, 1]))
+    ov_diff = jnp.where(accept[:, None], pa[:, 2:6], pa[:, 6:10])
+
+    changed = spec | diff
     if params.scat_model in ("k", "wavevector", "wave_vector"):
         partner = btab.degen_partner[mode_spec]
         u_deg = jax.random.uniform(k_deg, partner.shape)
         swap = spec & (partner >= 0) & (u_deg >= 0.5)
         mode_spec = jnp.where(swap, partner, mode_spec)
-
-    # diffuse re-emission by Walker alias sampling (prob+alias in one row)
-    M = btab.diffuse_prob.shape[1]
-    j = jax.random.randint(k_diff1, p_spec.shape, 0, M)
-    u = jax.random.uniform(k_diff2, p_spec.shape)
-    pa = btab.diff_pa[row, j]  # (E,2)
-    accept = u < pa[:, 0]
-    mode_diff = jnp.where(accept, j, i32b(pa[:, 1]))
-
-    changed = spec | diff
-    mode = jnp.where(spec, mode_spec, jnp.where(diff, mode_diff, b.mode))
-    ov = mat.omega_vel[mode]  # (E,4): omega + velocity in one row gather
-    omega_new = jnp.where(changed, ov[:, 0], b.omega)
-    vel_new = jnp.where(changed[:, None], ov[:, 1:4], b.vel)
+        mode = jnp.where(spec, mode_spec, jnp.where(diff, mode_diff, b.mode))
+        # the degenerate-partner swap needs the partner's velocity — keep
+        # the (M,4) gather on this (k-model-only) path
+        ov = mat.omega_vel[mode]
+        omega_new = jnp.where(changed, ov[:, 0], b.omega)
+        vel_new = jnp.where(changed[:, None], ov[:, 1:4], b.vel)
+    else:
+        mode = jnp.where(spec, mode_spec, jnp.where(diff, mode_diff, b.mode))
+        ov4 = jnp.where(spec[:, None], sc[:, 2:6], ov_diff)
+        omega_new = jnp.where(changed, ov4[:, 0], b.omega)
+        vel_new = jnp.where(changed[:, None], ov4[:, 1:4], b.vel)
 
     sv_here = subvol_id(geo, pos)
     T_wall = interp_T_particles(geo, T_sv, pos, sv_here, params.temp_interp)

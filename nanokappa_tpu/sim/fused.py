@@ -18,11 +18,13 @@ algebraically identical because
 The driver applies the one pending RTA with `make_finalize` before writing
 particle data, so checkpoints match the reference bit-for-bit in ordering.
 
-Inside the inner scan the pool rides TRANSPOSED: state.packed is the
-(16, N) attribute-major matrix (N % ops.megastep.BN == 0), which is the
-layout both Pallas kernels consume — sim/step.py's build_step converts at
-the outer-block boundary only, so no per-step layout transposes remain
-(they cost 0.5 ms/step at N=1.25e6 in the round-3 trace).
+Inside the inner scan the pool rides in the KERNEL-NATIVE 3-D layout:
+state.packed is (16, NR, L) with lane p of attribute c at [c, p // L, p % L]
+(L = ops.megastep.tile_width(N) // 8), which both Pallas kernels consume
+directly — sim/step.py's build_step converts at the run() boundary only, so
+no layout-conversion copy of the pool exists in the per-step path (the
+(16, N) <-> blocked retile pair cost 0.24 ms/step at N=1.25e6 in the
+round-3 trace; the earlier per-step transposes 0.5 ms).
 
 Pipeline per step:
   1. reservoir injection rows (sim/reservoir.py sample_injections) APPEND at
