@@ -274,9 +274,18 @@ def sample_injections(
         share = state.n_leaving // n_shards + (
             jnp.asarray(shard_idx, jnp.int32) < state.n_leaving % n_shards
         ).astype(jnp.int32)
+        # Walker alias draw over enter_prob — distribution-identical to the
+        # reference's cumsum roulette (classes/Population.py:457-489), and
+        # O(1)/draw where a vmapped searchsorted over an M-wide CDF lowers
+        # to a scalar binary-search while loop on TPU (measured 1 ms/step
+        # for the analogous buffer-validity search at 19.5k lanes)
+        M_tab = rtab.enter_alias.shape[1]
+        jdraw = jax.random.randint(k_counts, (R, per), 0, M_tab)
         u = jax.random.uniform(k_oto, (R, per))
-        modes = jax.vmap(lambda cdf, uu: jnp.searchsorted(cdf, uu))(
-            rtab.enter_cdf, u
+        pa = rtab.enter_alias[jnp.arange(R, dtype=jnp.int32)[:, None], jdraw]
+        modes = jnp.where(
+            u < pa[..., 0], jdraw,
+            jax.lax.bitcast_convert_type(pa[..., 1], jnp.int32),
         ).astype(jnp.int32)  # (R,per)
         j = jnp.arange(per, dtype=jnp.int32)
         valid = j[None, :] < share[:, None]
