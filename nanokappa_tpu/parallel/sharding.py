@@ -98,24 +98,37 @@ def build_sharded_step(
     sharded. Returns run(state) -> (state, StepOutputs) — one datapoint when
     n_outer == 1, else n_outer stacked datapoints (device-batched
     convergence, one ledger reset per block)."""
+    from nanokappa_tpu.sim.fused import v2_eligible
+    from nanokappa_tpu.sim.step import make_v2_block_runner
+
     step = make_step(geo, mat, btab, rtab, params, axis_name="p")
 
-    def run_local(state: SimState):
-        from nanokappa_tpu.sim.step import maybe_refresh_tau, reset_ledgers
+    if v2_eligible(geo, params):
+        # the fast v2 harness (3-D pool layout + compaction cadence) runs
+        # PER SHARD inside shard_map — the per-step psums are the only
+        # cross-chip traffic either way
+        run_local = make_v2_block_runner(
+            geo, mat, params, step, n_inner, n_outer, vary=("p",)
+        )
+    else:
+        def run_local(state: SimState):
+            from nanokappa_tpu.sim.step import (
+                maybe_refresh_tau, reset_ledgers,
+            )
 
-        def block(state, _=None):
-            state = maybe_refresh_tau(state, geo, mat, params)
-            state, outs = jax.lax.scan(step, state, length=n_inner)
-            last = jax.tree.map(lambda x: x[-1], outs)
-            return reset_ledgers(state), last
+            def block(state, _=None):
+                state = maybe_refresh_tau(state, geo, mat, params)
+                state, outs = jax.lax.scan(step, state, length=n_inner)
+                last = jax.tree.map(lambda x: x[-1], outs)
+                return reset_ledgers(state), last
 
-        if n_outer == 1:
-            state = maybe_refresh_tau(state, geo, mat, params)
-            state, outs = jax.lax.scan(step, state, length=n_inner)
-            last = jax.tree.map(lambda x: x[-1], outs)
-        else:
-            state, last = jax.lax.scan(block, state, length=n_outer)
-        return state, last
+            if n_outer == 1:
+                state = maybe_refresh_tau(state, geo, mat, params)
+                state, outs = jax.lax.scan(step, state, length=n_inner)
+                last = jax.tree.map(lambda x: x[-1], outs)
+            else:
+                state, last = jax.lax.scan(block, state, length=n_outer)
+            return state, last
 
     def specs_for(tree, sharded_cap):
         def spec_of(path, leaf):

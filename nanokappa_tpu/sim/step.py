@@ -215,10 +215,10 @@ def build_step(geo, mat, btab, rtab, params, n_inner: int = 1, n_outer: int = 1)
     unchanged. Every ~0.6 s host round trip through a remote-TPU tunnel
     amortises over 10x more simulated steps.
 
-    On the v2 path the pool rides TRANSPOSED (16, N) through the scans (the
-    Pallas kernels' native layout) and is defragmented once per block
-    (ops/compact_pool.py) so tail appends never hit capacity; the layout
-    converts back at the run() boundary only."""
+    On the v2 path the pool rides in the kernel-native 3-D (16, NR, L)
+    layout through the scans and is defragmented on a statically-sized
+    compaction cadence (make_v2_block_runner) so tail appends never hit
+    capacity; the layout converts back at the run() boundary only."""
     import dataclasses
 
     from nanokappa_tpu.sim.fused import v2_eligible
@@ -227,67 +227,10 @@ def build_step(geo, mat, btab, rtab, params, n_inner: int = 1, n_outer: int = 1)
     is_v2 = v2_eligible(geo, params)
 
     if is_v2:
-        from nanokappa_tpu.ops.compact_pool import compact_pool
-        from nanokappa_tpu.sim.fused import (
-            from_transposed, refresh_tau_T, to_transposed,
+        run_blocks = make_v2_block_runner(
+            geo, mat, params, step, n_inner, n_outer
         )
-
-        from nanokappa_tpu.sim import fused as _fused
-
-        interp = jax.default_backend() == "cpu" or _fused.FORCE_INTERPRET
-
-        # Tail-room invariant: each step appends up to EVT_CAP + inj_cap rows
-        # at the pool tail (event re-entry + injections, sim/fused.py) and
-        # only compaction reclaims dead lanes. Compact every m steps with m
-        # sized so the appends cannot outrun ~N/5 of slack (the driver sizes
-        # the pool with >= 25% margin, sim/state.py round_pool_cap callers).
-        N_shard = params.n_cap // max(1, params.n_shards)
-        evt_eff = -(-(
-            params.evt_cap or max(params.inj_cap, N_shard // 64)
-        ) // 128) * 128
-        per_step = evt_eff + params.inj_cap
-        m = max(1, min(n_inner, (N_shard // 5) // max(1, per_step)))
-        while n_inner % m:  # largest divisor of n_inner <= the safe bound
-            m -= 1
-        n_sub = n_inner // m
-
-        def compacted(stateT: SimState) -> SimState:
-            pool, tail = compact_pool(stateT.packed, interpret=interp)
-            return dataclasses.replace(
-                stateT,
-                packed=pool,
-                free_count=stateT.free_count.at[0].set(tail),
-            )
-
-        def sub(stateT: SimState, _=None):
-            stateT = compacted(stateT)
-            stateT, outs = jax.lax.scan(step, stateT, length=m)
-            return stateT, jax.tree.map(lambda x: x[-1], outs)
-
-        def block(stateT: SimState, _=None):
-            stateT = maybe_refresh_tau(
-                stateT, geo, mat, params, fn=refresh_tau_T
-            )
-            if n_sub == 1:
-                stateT, last = sub(stateT)
-            else:
-                stateT, outs = jax.lax.scan(sub, stateT, length=n_sub)
-                last = jax.tree.map(lambda x: x[-1], outs)
-            stateT = reset_ledgers(stateT)
-            return stateT, last
-
-        @jax.jit
-        def run(state: SimState):
-            stateT = to_transposed(state)
-            if n_outer == 1:
-                stateT, out = block(stateT)
-            else:
-                stateT, out = jax.lax.scan(block, stateT, length=n_outer)
-            state = from_transposed(stateT)
-            state = dataclasses.replace(state, sv_id=state.sv_col)
-            return state, out
-
-        return run
+        return jax.jit(run_blocks)
 
     def block(state: SimState, _=None):
         state = maybe_refresh_tau(state, geo, mat, params)
@@ -310,6 +253,79 @@ def build_step(geo, mat, btab, rtab, params, n_inner: int = 1, n_outer: int = 1)
         return state, out
 
     return run
+
+
+def make_v2_block_runner(geo, mat, params, step, n_inner, n_outer, vary=None):
+    """The v2 scan harness: pool in the kernel-native 3-D layout, a
+    compaction cadence sized so tail appends never hit capacity, drift-gated
+    tau refresh, one ledger reset per n_inner block. Shared by the
+    single-chip build_step (jit the result directly) and the shard_map
+    paths in parallel/sharding.py (call inside run_local with `vary` set to
+    the mesh axes the particle data varies over).
+
+    Returns run_blocks(state) -> (state, last_outputs): ONE StepOutputs when
+    n_outer == 1, else n_outer stacked rows."""
+    import dataclasses
+
+    from nanokappa_tpu.ops.compact_pool import compact_pool
+    from nanokappa_tpu.sim import fused as _fused
+    from nanokappa_tpu.sim.fused import (
+        from_transposed, refresh_tau_T, to_transposed,
+    )
+
+    interp = jax.default_backend() == "cpu" or _fused.FORCE_INTERPRET
+
+    # Tail-room invariant: each step appends up to EVT_CAP + inj_cap rows
+    # at the pool tail (event re-entry + injections, sim/fused.py) and
+    # only compaction reclaims dead lanes. Compact every m steps with m
+    # sized so the appends cannot outrun ~N/5 of slack (the driver sizes
+    # the pool with >= 25% margin, sim/state.py round_pool_cap callers).
+    N_shard = params.n_cap // max(1, params.n_shards)
+    evt_eff = -(-(
+        params.evt_cap or max(params.inj_cap, N_shard // 64)
+    ) // 128) * 128
+    per_step = evt_eff + params.inj_cap
+    m = max(1, min(n_inner, (N_shard // 5) // max(1, per_step)))
+    while n_inner % m:  # largest divisor of n_inner <= the safe bound
+        m -= 1
+    n_sub = n_inner // m
+
+    def compacted(stateT: SimState) -> SimState:
+        pool, tail = compact_pool(stateT.packed, interpret=interp, vma=vary)
+        return dataclasses.replace(
+            stateT,
+            packed=pool,
+            free_count=stateT.free_count.at[0].set(tail),
+        )
+
+    def sub(stateT: SimState, _=None):
+        stateT = compacted(stateT)
+        stateT, outs = jax.lax.scan(step, stateT, length=m)
+        return stateT, jax.tree.map(lambda x: x[-1], outs)
+
+    def block(stateT: SimState, _=None):
+        stateT = maybe_refresh_tau(
+            stateT, geo, mat, params, fn=refresh_tau_T
+        )
+        if n_sub == 1:
+            stateT, last = sub(stateT)
+        else:
+            stateT, outs = jax.lax.scan(sub, stateT, length=n_sub)
+            last = jax.tree.map(lambda x: x[-1], outs)
+        stateT = reset_ledgers(stateT)
+        return stateT, last
+
+    def run_blocks(state: SimState):
+        stateT = to_transposed(state)
+        if n_outer == 1:
+            stateT, out = block(stateT)
+        else:
+            stateT, out = jax.lax.scan(block, stateT, length=n_outer)
+        state = from_transposed(stateT)
+        state = dataclasses.replace(state, sv_id=state.sv_col)
+        return state, out
+
+    return run_blocks
 
 
 def maybe_refresh_tau(state: SimState, geo, mat, params, fn=None) -> SimState:
