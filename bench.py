@@ -62,7 +62,9 @@ def run_config(n_particles: float, mesh_pts: int, res_gen: str):
     )
     geo = build_device_geometry(dom)
     btab = build_boundary_tables(mat, dom)
-    state = init_state(mat, dom, geo, params, n_p, temp_dist="linear")
+    state = init_state(
+        mat, dom, geo, params, n_p, temp_dist="linear", btab=btab
+    )
     run = build_step(geo, mat.device_tables(), btab, rtab, params, n_inner=20)
 
     # warm up: compile + reach steady boundary-event mix

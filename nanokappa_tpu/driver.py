@@ -197,6 +197,7 @@ class Simulation:
             subvol_temp=[float(t) for t in args.subvol_temp],
             seed=int(args.seed[0]),
             empty_subvols=[int(i) for i in args.empty_subvols],
+            btab=self.btab,
             **kw,
         )
 

@@ -47,11 +47,20 @@ from nanokappa_tpu.ops.megastep import (
 from nanokappa_tpu.sim.state import C_ALIVE
 
 
-def _kernel(starts_ref, in_ref, out_hbm, scratch, sem, *, cfg):
+def _kernel(starts_ref, in_ref, *rest, cfg):
+    if cfg["use_mirror"]:
+        mir_ref, out_hbm, mout_hbm, scratch, mscratch, sem = rest
+    else:
+        mir_ref = mout_hbm = mscratch = None
+        out_hbm, scratch, sem = rest
     b = pl.program_id(0)
     # per-attribute 2-D loads: indexing the leading (untiled) dim of the
     # (16, 8, L) block yields dense (8, L) values
     vals = [in_ref[c] for c in range(16)]  # 16 x (8, L)
+    if cfg["use_mirror"]:
+        # the specular-mirror side pool compacts through the SAME delta
+        # network so its rows stay lane-aligned with the particle pool
+        vals += [mir_ref[c] for c in range(8)]
     alive = vals[C_ALIVE] > 0.5
 
     BN = 8 * alive.shape[-1]
@@ -74,7 +83,7 @@ def _kernel(starts_ref, in_ref, out_hbm, scratch, sem, *, cfg):
     lane_flat = jax.lax.broadcasted_iota(jnp.int32, (1, BN), 1)
     keep = lane_flat < count
     rows = jnp.concatenate(
-        [jnp.where(keep, _unflat8(v), 0.0) for v in vals], axis=0
+        [jnp.where(keep, _unflat8(v), 0.0) for v in vals[:16]], axis=0
     )  # (16, BN)
     scratch[:, :] = rows
     off = starts_ref[b]
@@ -83,19 +92,39 @@ def _kernel(starts_ref, in_ref, out_hbm, scratch, sem, *, cfg):
     )
     cp.start()
     cp.wait()
+    if cfg["use_mirror"]:
+        mrows = jnp.concatenate(
+            [jnp.where(keep, _unflat8(v), 0.0) for v in vals[16:24]],
+            axis=0,
+        )  # (8, BN)
+        mscratch[:, :] = mrows
+        cpm = pltpu.make_async_copy(
+            mscratch, mout_hbm.at[:, pl.ds(pl.multiple_of(off, 128), BN)],
+            sem,
+        )
+        cpm.start()
+        cpm.wait()
 
 
-def compact_pool(pool3: jax.Array, interpret: bool = False, vma=None):
+def compact_pool(
+    pool3: jax.Array,
+    mirror3: jax.Array | None = None,
+    interpret: bool = False,
+    vma=None,
+):
     """Defragment the (16, NR, L) pool (NR * L a tile_width multiple).
-    Returns (pool3', tail): all alive lanes packed (order-preserving) into
-    [0, tail) of the flattened lane order, < 128 dead filler lanes per
-    source block; lanes >= tail carry a cleared alive row but otherwise
-    stale data."""
+    Returns (pool3', mirror3', tail): all alive lanes packed
+    (order-preserving) into [0, tail) of the flattened lane order, < 128
+    dead filler lanes per source block; lanes >= tail carry a cleared alive
+    row but otherwise stale data. The optional (8, NR, L) specular-mirror
+    side pool compacts through the same permutation (mirror3' is None when
+    not given)."""
     C, NR, L = pool3.shape
     N = NR * L
     bn = tile_width(N)
     assert C == 16 and bn is not None and bn // 8 == L, (C, NR, L)
     nb = N // bn
+    use_mirror = mirror3 is not None
 
     alive_row = pool3[C_ALIVE] > 0.5  # (NR, L)
     acnt = jnp.sum(
@@ -107,34 +136,57 @@ def compact_pool(pool3: jax.Array, interpret: bool = False, vma=None):
     ).astype(jnp.int32)  # (nb+1,)
     tail = starts[nb - 1] + acnt[nb - 1]
 
+    in_specs = [
+        pl.BlockSpec(
+            (16, 8, L), lambda b, *_: (0, b, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    out_shape = [jax.ShapeDtypeStruct((16, N), jnp.float32)]
+    scratch = [pltpu.VMEM((16, bn), jnp.float32)]
+    operands = [starts, pool3]
+    if use_mirror:
+        in_specs.append(
+            pl.BlockSpec(
+                (8, 8, L), lambda b, *_: (0, b, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(jax.ShapeDtypeStruct((8, N), jnp.float32))
+        scratch.append(pltpu.VMEM((8, bn), jnp.float32))
+        operands.append(mirror3)
+    scratch.append(pltpu.SemaphoreType.DMA(()))
+    kw = dict(vma=frozenset(vma)) if vma else {}
+    if kw:
+        out_shape = [
+            jax.ShapeDtypeStruct(o.shape, o.dtype, **kw) for o in out_shape
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(
-                (16, 8, L), lambda b, *_: (0, b, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        scratch_shapes=[
-            pltpu.VMEM((16, bn), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
-    kw = dict(vma=frozenset(vma)) if vma else {}
-    out = pl.pallas_call(
-        partial(_kernel, cfg={}),
+    outs = pl.pallas_call(
+        partial(_kernel, cfg={"use_mirror": use_mirror}),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((16, N), jnp.float32, **kw)],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(starts, pool3)[0]
+    )(*operands)
+    out = outs[0]
+    mout = outs[1] if use_mirror else None
 
     # stale pre-compaction data survives past the last written window; kill
     # its alive flags so those lanes are plain dead slots
     lane = jnp.arange(N, dtype=jnp.int32)
     out = out.at[C_ALIVE].set(jnp.where(lane < tail, out[C_ALIVE], 0.0))
-    return out.reshape(16, NR, L), tail
+    return (
+        out.reshape(16, NR, L),
+        mout.reshape(8, NR, L) if use_mirror else None,
+        tail,
+    )

@@ -40,5 +40,23 @@ def occupation_delta_T_k(T, T_ref: float, omega):
     return jnp.where(both, (eR - eT) / (eT * eR), nT - nR)
 
 
+def occupation_delta_omega_k(T_ref: float, om_a, om_b):
+    """n0(T_ref, om_a) - n0(T_ref, om_b), the kernel twin of
+    sim/bose.py:occupation_delta_omega (specular reflections conserve the
+    absolute occupation while the mode's reference occupation changes,
+    classes/Population.py:941-971)."""
+    okA = om_a > 0
+    okB = om_b > 0
+    c = HBAR / (T_ref * KB)
+    xA = jnp.minimum(jnp.where(okA, om_a * c, 1.0), _X_MAX)
+    xB = jnp.minimum(jnp.where(okB, om_b * c, 1.0), _X_MAX)
+    eA = expm1k(xA)
+    eB = expm1k(xB)
+    nA = jnp.where(okA, 1.0 / eA, 0.0)
+    nB = jnp.where(okB, 1.0 / eB, 0.0)
+    both = okA & okB
+    return jnp.where(both, (eB - eA) / (eA * eB), nA - nB)
+
+
 def signk(x):
     return jnp.where(x >= 0.0, 1.0, -1.0)

@@ -21,10 +21,13 @@ cost 0.24 ms/step at N=1.25e6). Per tile, entirely in VMEM:
      planes (the box fast path of ops/raycast.py:50-69, unrolled over the
      static facet tables),
   3. drift by min(t_coll, remaining) (reference Population.py:1724-1769),
-  4. bounded in-kernel resolution of PERIODIC translations and reservoir
-     ABSORPTION (reference Population.py:1463-1489, 1565-1608) — pure
-     arithmetic for a box; the energy/flux ledger accumulates on the MXU at
-     Precision.HIGHEST,
+  4. bounded in-kernel resolution of PERIODIC translations, reservoir
+     ABSORPTION, and (when the mirror cache is active, sim/fused.py
+     mirror_eligible) SPECULAR reflections off eta = 0 walls — a pure
+     register swap of (mode, omega, vel, tau) with the cached
+     correspondence partner plus the occupation re-reference
+     (reference Population.py:941-971, 1463-1489, 1565-1608); the
+     energy/flux ledger accumulates on the MXU at Precision.HIGHEST,
   5. compaction of the still-pending events (reflections and deep chains)
      into 128-aligned segments of ONE global index buffer via a running SMEM
      offset (the TPU grid is sequential). Exported lanes are marked DEAD in
@@ -57,7 +60,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nanokappa_tpu.ops.kmath import occupation_delta_T_k, signk
+from nanokappa_tpu.ops.kmath import (
+    occupation_delta_T_k, occupation_delta_omega_k, signk,
+)
 from nanokappa_tpu.sim.state import (
     C_ALIVE, C_CF, C_DEV, C_MODE, C_OMEGA, C_ONF, C_REM, C_SV, C_TAU,
     C_TCOLL, STALE,
@@ -192,21 +197,28 @@ def _kernel(
     tsv_ref,  # (1, SVP) f32 SMEM subvolume temperatures (padded)
     rta_ref,  # (1, 1) i32 SMEM: apply deferred RTA this step?
     in_ref,  # (16, 8, BN8) packed tile (a block of the (16, NR, L) pool)
-    out_ref,  # (16, 8, BN8) drifted tile
-    evt_hbm,  # (1, ECAP + BN) i32 global event-index buffer (ANY, manual DMA)
-    cnt_ref,  # (nb, 8) i32 SMEM (whole array):
-    #   [pend_count, alive_count, seg_start, seg_kept, ...]
-    ledger_ref,  # (8, 128) f32 reservoir ledger [e, fx, fy, fz, count]
-    bins_ref,  # (SV8, 128) f32 subvolume sums [e, e*vx, e*vy, e*vz, alive]
-    acc_ref,  # (8, 128) f32 VMEM ledger accumulator
-    bacc_ref,  # (SV8, 128) f32 VMEM binning accumulator
-    evt_s,  # (1, BN) i32 VMEM staging row for the event-segment DMA
-    off_ref,  # (1,) i32 SMEM: running 128-aligned global segment offset
-    sem,  # DMA semaphore
-    *,
+    *rest,  # [mir_ref,] out_ref, [mout_ref,] evt_hbm, cnt_ref, ledger_ref,
+    #   bins_ref, acc_ref, bacc_ref, evt_s, off_ref, sem — see the
+    #   non-mirror docstring below; mir/mout are (8, 8, BN8) blocks of the
+    #   specular-mirror side pool (sim/state.py X_* columns), present only
+    #   when cfg["use_mirror"]
     tables: dict,
     cfg: dict,
 ):
+    if cfg["use_mirror"]:
+        (mir_ref, out_ref, mout_ref, evt_hbm, cnt_ref, ledger_ref, bins_ref,
+         acc_ref, bacc_ref, evt_s, off_ref, sem) = rest
+    else:
+        mir_ref = mout_ref = None
+        (out_ref, evt_hbm, cnt_ref, ledger_ref, bins_ref,
+         acc_ref, bacc_ref, evt_s, off_ref, sem) = rest
+    # out_ref: (16, 8, BN8) drifted tile
+    # evt_hbm: (1, ECAP + BN) i32 global event-index buffer (ANY, manual DMA)
+    # cnt_ref: (nb, 8) i32 SMEM [pend_count, alive_count, seg_start, kept]
+    # ledger_ref: (8, 128) f32 reservoir ledger [e, fx, fy, fz, count]
+    # bins_ref: (SV8, 128) f32 subvolume sums [e, e*vx, e*vy, e*vz, alive]
+    # acc/bacc: VMEM accumulators; evt_s: (1, BN) i32 DMA staging row
+    # off_ref: (1,) i32 SMEM running 128-aligned segment offset; sem: DMA
     b = pl.program_id(0)
     nb = pl.num_programs(0)
     dt = cfg["dt"]
@@ -248,6 +260,16 @@ def _kernel(
     onf = i32(in_ref[C_ONF])
     rem_col = in_ref[C_REM]
     alive = (in_ref[C_ALIVE] > 0.5) & in_pool
+    if cfg["use_mirror"]:
+        # specular-mirror cache (sim/state.py X_* columns): the cached
+        # correspondence partner's (mode, omega, vel, tau)
+        m_mode_b = mir_ref[0]
+        m_omega = mir_ref[1]
+        m_vx = mir_ref[2]
+        m_vy = mir_ref[3]
+        m_vz = mir_ref[4]
+        m_tau = mir_ref[5]
+        m_mode = i32(m_mode_b)
     # position-derived subvolume id (slice domains are index arithmetic) —
     # identical to the C_SV column the round-3 merge kernel used to refresh,
     # since nothing moves between a step's binning and the next step's drift
@@ -380,22 +402,57 @@ def _kernel(
         alive = alive & ~absorb
         rem = jnp.where(absorb, 0.0, rem)
 
-        # periodic translation + re-cast + drift (Population.py:1463-1489)
+        # periodic translation (Population.py:1463-1489)
         per = pend & is_per
         px = px + jnp.where(per, shx, 0.0)
         py = py + jnp.where(per, shy, 0.0)
         pz = pz + jnp.where(per, shz, 0.0)
         onf = jnp.where(per, pair, onf)
-        t_b, f_b = _box_raycast((px, py, pz), (vx, vy, vz), onf, tables, per)
-        t_coll = jnp.where(per, t_b / dt, t_coll)
-        cf = jnp.where(per, f_b, cf)
-        sf = jnp.where(per & alive, jnp.minimum(t_coll, rem), 0.0)
-        sf = jnp.where(sf < 1e30, sf, jnp.where(per, rem, 0.0))
+
+        # in-kernel SPECULAR reflection (eta = 0 walls, velocity model):
+        # occupation is conserved while the mode's reference occupation
+        # changes (classes/Population.py:941-971), then (mode, omega, vel,
+        # tau) SWAP with the cached mirror set — mirror-of-mirror is the
+        # original mode, so the cache swap is exact. Lanes without a
+        # correspondence (m_mode < 0) stay pending and export to the narrow
+        # machinery as before.
+        rfl = jnp.zeros(SH, bool)
+        if cfg["use_mirror"]:
+            is_rfl = jnp.zeros(SH, bool)
+            for f in range(F):
+                if tables["is_rough"][f]:
+                    is_rfl = is_rfl | (cf == f)
+            rfl = pend & is_rfl & (m_mode >= 0)
+            dev = jnp.where(
+                rfl,
+                dev + occupation_delta_omega_k(t_ref, omega, m_omega),
+                dev,
+            )
+
+            def sw(a, bb):
+                return jnp.where(rfl, bb, a), jnp.where(rfl, a, bb)
+
+            omega, m_omega = sw(omega, m_omega)
+            tau, m_tau = sw(tau, m_tau)
+            mode_b, m_mode_b = sw(mode_b, m_mode_b)
+            m_mode = i32(m_mode_b)
+            vx, m_vx = sw(vx, m_vx)
+            vy, m_vy = sw(vy, m_vy)
+            vz, m_vz = sw(vz, m_vz)
+            onf = jnp.where(rfl, cf, onf)
+
+        # re-cast + drift the remainder for translated/reflected lanes
+        mv = per | rfl
+        t_b, f_b = _box_raycast((px, py, pz), (vx, vy, vz), onf, tables, mv)
+        t_coll = jnp.where(mv, t_b / dt, t_coll)
+        cf = jnp.where(mv, f_b, cf)
+        sf = jnp.where(mv & alive, jnp.minimum(t_coll, rem), 0.0)
+        sf = jnp.where(sf < 1e30, sf, jnp.where(mv, rem, 0.0))
         px = px + vx * (dt * sf)
         py = py + vy * (dt * sf)
         pz = pz + vz * (dt * sf)
         t_coll = t_coll - sf
-        rem = jnp.where(per, jnp.maximum(rem - sf, 0.0), rem)
+        rem = jnp.where(mv, jnp.maximum(rem - sf, 0.0), rem)
 
     # MXU ledger reduction (exact f32: Precision.HIGHEST); the narrow rows
     # are unflattened to (1, BN) so the dot stays a proven 2-D contraction
@@ -503,6 +560,12 @@ def _kernel(
         ]
     ):
         out_ref[c] = v
+    if cfg["use_mirror"]:
+        zero = jnp.zeros(SH, f32)
+        for c, v in enumerate(
+            [m_mode_b, m_omega, m_vx, m_vy, m_vz, m_tau, zero, zero]
+        ):
+            mout_ref[c] = v
 
     @pl.when(b == nb - 1)
     def _fin():
@@ -520,6 +583,10 @@ def drift_megastep(
     rta_on: jax.Array,  # () i32/bool — apply the deferred RTA this step?
     geo,  # DeviceGeometry (host constants are baked in statically)
     params,
+    mirror3: jax.Array | None = None,  # (8, NR, L) specular-mirror side
+    #   pool (sim/state.py X_* columns); enables the in-kernel specular
+    #   fast path (eta = 0 walls, velocity model — sim/fused.py
+    #   mirror_eligible gates it)
     n_real: int | None = None,  # real pool width (< N only for pad lanes)
     ecap: int = 0,  # event-buffer capacity (128-multiple); 0 -> N // 64
     interpret: bool = False,
@@ -530,7 +597,8 @@ def drift_megastep(
     [starts[b], starts[b] + kept[b]), sentinel _SENT elsewhere —
     pend_counts (nb,) i32, alive_counts (nb,) i32, starts (nb,) i32,
     kept (nb,) i32, ledger (8, 5) f32, bins (SV8, 5) f32 raw subvolume
-    sums [e, e*vx, e*vy, e*vz, Np] over the lanes that stay in the pool).
+    sums [e, e*vx, e*vy, e*vz, Np] over the lanes that stay in the pool,
+    mirror3' (8, NR, L) or None).
 
     Exported lanes are marked DEAD in pool3' — their live copies ride the
     event buffer and re-enter at the pool tail (sim/fused.py append)."""
@@ -552,6 +620,7 @@ def drift_megastep(
         sign=np.asarray(geo.box_sign),
         plane=np.asarray(geo.box_plane),
         is_absorb=(bc_np == int(BC.TEMPERATURE)) | (bc_np == int(BC.FLUX)),
+        is_rough=bc_np == int(BC.ROUGH),
         is_periodic=bc_np == int(BC.PERIODIC),
         value=np.nan_to_num(np.asarray(geo.facet_value)),
         res=np.asarray(geo.facet_res),
@@ -584,6 +653,7 @@ def drift_megastep(
         hbar=HBAR,
         bn=bn,
         ecap=ecap,
+        use_mirror=mirror3 is not None,
         sv8=SV8,
         lo_b=float(bounds[0, ax]),
         inv_len=float(SV / (bounds[1, ax] - bounds[0, ax])),
@@ -597,29 +667,52 @@ def drift_megastep(
     assert ecap % 128 == 0
     cfg["ecap"] = ecap
 
+    use_mirror = mirror3 is not None
+    pool_spec = pl.BlockSpec(
+        (16, 8, bn8), lambda b: (0, b, 0), memory_space=pltpu.VMEM
+    )
+    mir_spec = pl.BlockSpec(
+        (8, 8, bn8), lambda b: (0, b, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # T_sv: scalar reads
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pool_spec,
+    ]
+    out_specs = [pool_spec]
+    out_shape = [jax.ShapeDtypeStruct((16, NR, L), jnp.float32)]
+    aliases = {2: 0}
+    operands = [tsv, rta, pool3]
+    if use_mirror:
+        in_specs.append(mir_spec)
+        out_specs.append(mir_spec)
+        out_shape.append(jax.ShapeDtypeStruct((8, NR, L), jnp.float32))
+        aliases[3] = 1
+        operands.append(mirror3)
+    out_specs += [
+        pl.BlockSpec(memory_space=pl.ANY),  # evt_buf: manual DMA
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # counts: whole array
+        pl.BlockSpec((8, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (SV8, 128), lambda b: (0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    out_shape += [
+        jax.ShapeDtypeStruct((1, ecap + bn), jnp.int32),
+        jax.ShapeDtypeStruct((nb, 8), jnp.int32),
+        jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((SV8, 128), jnp.float32),
+    ]
+    kw = dict(vma=frozenset(vma)) if vma else {}
+    if kw:
+        out_shape = [
+            jax.ShapeDtypeStruct(o.shape, o.dtype, **kw) for o in out_shape
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # T_sv: scalar reads
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (16, 8, bn8), lambda b: (0, b, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (16, 8, bn8), lambda b: (0, b, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),  # evt_buf: manual DMA
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # counts: whole array
-            pl.BlockSpec((8, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (SV8, 128), lambda b: (0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((8, 128), jnp.float32),
             pltpu.VMEM((SV8, 128), jnp.float32),
@@ -628,27 +721,25 @@ def drift_megastep(
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    kw = dict(vma=frozenset(vma)) if vma else {}
     outs = pl.pallas_call(
         partial(_kernel, tables=tables, cfg=cfg),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((16, NR, L), jnp.float32, **kw),
-            jax.ShapeDtypeStruct((1, ecap + bn), jnp.int32, **kw),
-            jax.ShapeDtypeStruct((nb, 8), jnp.int32, **kw),
-            jax.ShapeDtypeStruct((8, 128), jnp.float32, **kw),
-            jax.ShapeDtypeStruct((SV8, 128), jnp.float32, **kw),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        # the pool updates in place (block b is written only after it is
-        # read; the sequential grid never revisits it) — halves the step's
-        # pool footprint and lets XLA drop a defensive copy
-        input_output_aliases={2: 0},
+        # the pool (and mirror cache) update in place (block b is written
+        # only after it is read; the sequential grid never revisits it) —
+        # halves the step's pool footprint and lets XLA drop defensive
+        # copies
+        input_output_aliases=aliases,
         interpret=interpret,
-    )(tsv, rta, pool3)
-    pool_out, evt_buf, cnts, ledger, bins = outs
+    )(*operands)
+    if use_mirror:
+        pool_out, mir_out, evt_buf, cnts, ledger, bins = outs
+    else:
+        pool_out, evt_buf, cnts, ledger, bins = outs
+        mir_out = None
     return (
         pool_out,
         evt_buf[0],  # (ecap + bn,) segmented ascending event indices
@@ -658,4 +749,5 @@ def drift_megastep(
         cnts[:, 3],  # kept counts (post-ECAP clamp)
         ledger[:, :5],
         bins[:, :5],  # raw subvolume sums over non-exported lanes
+        mir_out,
     )

@@ -108,7 +108,7 @@ def build_sharded_step(
         # PER SHARD inside shard_map — the per-step psums are the only
         # cross-chip traffic either way
         run_local = make_v2_block_runner(
-            geo, mat, params, step, n_inner, n_outer, vary=("p",)
+            geo, mat, btab, params, step, n_inner, n_outer, vary=("p",)
         )
     else:
         def run_local(state: SimState):

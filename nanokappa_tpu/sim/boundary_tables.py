@@ -220,6 +220,49 @@ def _correspondence_k(mat: Material, n: np.ndarray) -> np.ndarray:
     return corr
 
 
+def combined_mirror_rows(btab, mat) -> np.ndarray | None:
+    """(M, 8) COMBINED specular rows for the in-kernel mirror cache
+    (sim/fused.py mirror_eligible): a wall pair with opposite normals
+    splits one physical mirror map into complementary per-row domains
+    (each row's correspondence covers only the modes heading INTO that
+    wall), so the union over rows is the total map. Returns None when the
+    rows CONFLICT on an overlap (rough walls of different plane families —
+    the fast path is ineligible). Modes whose map is not an involution
+    (mirror(mirror(m)) != m, which the cache swap relies on) fall back to
+    corr = -1 (narrow-machinery export)."""
+    sc = np.asarray(btab.spec_corr)  # (NU, M, 8)
+    corr = np.asarray(btab.corr)  # (NU, M)
+    NU, M = corr.shape
+    out = sc[0].copy()
+    cur = corr[0].copy()
+    for r in range(1, NU):
+        conflict = (cur >= 0) & (corr[r] >= 0) & (cur != corr[r])
+        if conflict.any():
+            return None
+        pick = (cur < 0) & (corr[r] >= 0)
+        out[pick] = sc[r][pick]
+        cur[pick] = corr[r][pick]
+    # involution gate: the register swap assumes mirror(mirror(m)) ~ m
+    if hasattr(mat, "omega_vel"):  # device MaterialTables
+        ov = np.asarray(mat.omega_vel)
+        omega, v = ov[:, 0], ov[:, 1:4]
+    else:  # host Material
+        v, omega, _ = _mode_tables(mat)
+    has = cur >= 0
+    back = np.where(has, cur[np.clip(cur, 0, M - 1)], -1)
+    back_ok = has & (back >= 0)
+    bi = np.clip(back, 0, M - 1)
+    prop_ok = back_ok & np.isclose(omega[bi], omega, rtol=1e-6) & np.all(
+        np.isclose(v[bi], v, rtol=1e-6, atol=1e-9), axis=1
+    )
+    bad = has & ~prop_ok
+    if bad.any():
+        out[bad, 0] = 0.0
+        out[bad, 1] = np.full(int(bad.sum()), -1, np.int32).view(np.float32)
+        out[bad, 2:6] = 0.0
+    return out
+
+
 def build_alias(weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Walker alias tables for O(1) categorical sampling on device: draw
     j ~ Uniform(M), u ~ U(0,1); sample = j if u < prob[j] else alias[j].

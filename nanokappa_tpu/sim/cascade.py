@@ -258,6 +258,7 @@ def run_cascade(
     ledger = psum(ledger)
     new_state = SimState(
         packed=merged,
+        mirror=state.mirror,
         sv_id=state.sv_id,
         T_sv=state.T_sv,
         Np_sv=state.Np_sv,

@@ -104,6 +104,31 @@ def v2_eligible(geo: DeviceGeometry, params: SimParams) -> bool:
     return jax.default_backend() != "cpu"
 
 
+def mirror_eligible(geo: DeviceGeometry, btab, params: SimParams, mat=None) -> bool:
+    """In-kernel specular fast path: velocity scattering model, at least one
+    rough facet, every rough row sharing ONE correspondence table (opposite-
+    normal walls of the same plane family mirror identically), and
+    specularity exactly 1 wherever a correspondence exists (eta = 0, Ziman
+    p = 1 — the reference treats such walls as fully specular,
+    classes/Population.py:941-971). Reflections then resolve inside the
+    drift kernel as a cached-mirror register swap; only multi-bounce chains
+    and no-correspondence lanes reach the narrow event machinery, so the
+    event buffer shrinks ~25x (sim/fused.py EVT_CAP default)."""
+    import numpy as np
+
+    from nanokappa_tpu.sim.boundary_tables import combined_mirror_rows
+
+    if params.scat_model in ("k", "wavevector", "wave_vector"):
+        return False
+    if btab is None or mat is None or int(btab.n_rough) == 0:
+        return False
+    spec = np.asarray(btab.specularity)
+    corr = np.asarray(btab.corr)
+    if not np.all((spec == 1.0) | (corr < 0)):  # eta = 0 everywhere
+        return False
+    return combined_mirror_rows(btab, mat) is not None
+
+
 def _append_window(
     pool3: jax.Array,  # (16, NR, L) kernel-native pool layout
     rows_T: jax.Array,  # (16, cap) rows to append
@@ -135,10 +160,10 @@ def _append_window(
     # off <= N - cap - (NR - capk) * L = capk * L - cap), so the placed
     # rows never clip
     off = jnp.maximum(tail - row_t * L, 0)
-    window = jax.lax.dynamic_slice(pool3, (0, row_t, 0), (16, capk, L))
-    flat = window.reshape(16, capk * L)
+    window = jax.lax.dynamic_slice(pool3, (0, row_t, 0), (C, capk, L))
+    flat = window.reshape(C, capk * L)
     src = jax.lax.dynamic_update_slice(
-        jnp.zeros((16, capk * L), rows_T.dtype), rows_T, (0, off)
+        jnp.zeros((C, capk * L), rows_T.dtype), rows_T, (0, off)
     )
     vmask = jax.lax.dynamic_update_slice(
         jnp.zeros(capk * L, bool), valid, (off,)
@@ -147,9 +172,51 @@ def _append_window(
     new_flat = jnp.where(keep[None, :], src, flat)
     return (
         jax.lax.dynamic_update_slice(
-            pool3, new_flat.reshape(16, capk, L), (0, row_t, 0)
+            pool3, new_flat.reshape(C, capk, L), (0, row_t, 0)
         ),
         ok,
+    )
+
+
+def _mirror_rows(btab, mat, rows, T_sv, geo, params, sv=None):
+    """(E, M_COLS) specular-mirror cache rows for freshly created or
+    mode-changed particle rows (injections, narrow-machinery outputs): one
+    row gather from the extended wall table (sim/boundary_tables.py
+    _spec_ext: [p, corr, omega[corr], v[corr]]) plus the correspondence
+    mode's lifetime at the particle's local temperature — the same lookup
+    the cascade uses for its own tau refresh."""
+    from nanokappa_tpu.sim.binning import interp_T_particles
+    from nanokappa_tpu.sim.scatter import lifetime_by_sv, lifetime_lookup
+    from nanokappa_tpu.sim.state import C_MODE, M_COLS, _bc_i32
+
+    from nanokappa_tpu.sim.boundary_tables import combined_mirror_rows
+
+    mode = _bc_i32(rows[:, C_MODE])
+    M = btab.spec_corr.shape[1]
+    mtab = jnp.asarray(combined_mirror_rows(btab, mat))
+    sc = mtab[jnp.clip(mode, 0, M - 1)]  # (E, 8)
+    corr = jax.lax.bitcast_convert_type(sc[:, 1], jnp.int32)
+    has = corr >= 0
+    corr_c = jnp.clip(corr, 0, M - 1)
+    if sv is None:
+        sv = subvol_id(geo, rows[:, C_POS])
+    if params.temp_interp == "nearest":
+        tau_m = lifetime_by_sv(mat, T_sv, sv, corr_c)
+    else:
+        T_p = interp_T_particles(
+            geo, T_sv, rows[:, C_POS], sv, params.temp_interp
+        )
+        tau_m = lifetime_lookup(mat, T_p, corr_c)
+    E = rows.shape[0]
+    return jnp.concatenate(
+        [
+            _bc_f32(corr)[:, None],
+            jnp.where(has, sc[:, 2], 0.0)[:, None],
+            jnp.where(has[:, None], sc[:, 3:6], 0.0),
+            jnp.where(has, tau_m, 0.0)[:, None],
+            jnp.zeros((E, M_COLS - 6), jnp.float32),
+        ],
+        axis=1,
     )
 
 
@@ -166,6 +233,7 @@ def make_step_v2(
     from nanokappa_tpu.sim.step import StepOutputs
 
     interpret = jax.default_backend() == "cpu" or FORCE_INTERPRET
+    use_mirror = mirror_eligible(geo, btab, params, mat)
 
     if axis_name is None:
         psum = lambda x: x  # noqa: E731
@@ -201,8 +269,10 @@ def make_step_v2(
             N = state.packed.shape[0]
             L = tile_width(N) // 8
             pool3 = state.packed.T.reshape(16, N // L, L)
+            mirror3 = state.mirror.T.reshape(8, N // L, L)
         else:
             pool3 = state.packed
+            mirror3 = state.mirror
         C, NR, L = pool3.shape
         N = NR * L
         BN = tile_width(N)
@@ -214,7 +284,12 @@ def make_step_v2(
             # dense alive prefix, so compact every step on this compat path
             from nanokappa_tpu.ops.compact_pool import compact_pool
 
-            pool3, tail0 = compact_pool(pool3, interpret=interpret, vma=vary)
+            pool3, mirror3_c, tail0 = compact_pool(
+                pool3, mirror3 if use_mirror else None,
+                interpret=interpret, vma=vary,
+            )
+            if use_mirror:
+                mirror3 = mirror3_c
             state = dataclasses.replace(
                 state, free_count=state.free_count.at[0].set(tail0)
             )
@@ -225,7 +300,14 @@ def make_step_v2(
         # reflections only; periodic+absorb resolve in-kernel) with a 1.6x
         # burst margin; overflow freezes lanes for one step (counted, and the
         # driver warns on sustained storms)
-        EVT_CAP = -(-(params.evt_cap or max(params.inj_cap, N // 64)) // 128) * 128
+        # with the in-kernel specular path, the buffer only carries
+        # multi-bounce chains and no-correspondence diffuse lanes (measured
+        # ~0.01% of N on the film config vs 1.2% of reflections)
+        evt_default = (
+            max(1024, N // 256) if use_mirror
+            else max(params.inj_cap, N // 64)
+        )
+        EVT_CAP = -(-(params.evt_cap or evt_default) // 128) * 128
         key = jax.random.fold_in(state.key, state.step)
         key = jax.random.fold_in(key, shard_idx())
         k_inj, k_casc = jax.random.split(key)
@@ -241,6 +323,13 @@ def make_step_v2(
             )
             tail = state.free_count[0]
             valid_inj = jnp.arange(cap, dtype=jnp.int32) < n_valid
+            if use_mirror:
+                mrows_inj = _mirror_rows(
+                    btab, mat, inj_rows, state.T_sv, geo, params,
+                )
+                mirror3, _ = _append_window(
+                    mirror3, mrows_inj.T, valid_inj, tail
+                )
             pool3, ok = _append_window(pool3, inj_rows.T, valid_inj, tail)
             tail = tail + jnp.where(ok, n_valid, 0)
             lost_inj = dropped + jnp.where(ok, 0, n_valid)
@@ -254,12 +343,14 @@ def make_step_v2(
         # ONE global buffer + subvolume binning of every lane that stays.
         # Exported lanes leave the pool (marked dead) — their results
         # re-enter by appending at the tail below, so NO merge pass exists.
-        pool3_d, evt_buf, ecnt, _acnt, starts_c, ecnt_c, kledger, kbins = (
-            drift_megastep(
-                pool3, state.T_sv, state.step > 0, geo, params,
-                ecap=EVT_CAP, interpret=interpret, vma=vary,
-            )
+        (pool3_d, evt_buf, ecnt, _acnt, starts_c, ecnt_c, kledger, kbins,
+         mirror3_d) = drift_megastep(
+            pool3, state.T_sv, state.step > 0, geo, params,
+            mirror3=mirror3 if use_mirror else None,
+            ecap=EVT_CAP, interpret=interpret, vma=vary,
         )
+        if not use_mirror:
+            mirror3_d = mirror3
         frozen_k = jnp.sum(ecnt - ecnt_c)
         evt_idx = evt_buf[:EVT_CAP]
 
@@ -325,6 +416,13 @@ def make_step_v2(
         # for skipping an EVT_CAP-wide compaction + 16-row gather
         # (~0.17 ms/step at N=1.25e6)
         rows_out = rows_out.at[:, C_SV].set(_bc_f32(sv_e))
+        if use_mirror:
+            mrows_out = _mirror_rows(
+                btab, mat, rows_out, state.T_sv, geo, params, sv=sv_e,
+            )
+            mirror3_d, _ = _append_window(
+                mirror3_d, mrows_out.T, alive_e, tail
+            )
         pool3_m, ok_app = _append_window(
             pool3_d, rows_out.T, alive_e, tail
         )
@@ -360,6 +458,9 @@ def make_step_v2(
             packed=(
                 pool3_m.reshape(16, N).T if plain_layout else pool3_m
             ),
+            mirror=(
+                mirror3_d.reshape(8, N).T if plain_layout else mirror3_d
+            ),
             sv_id=state.sv_id,
             T_sv=T_sv_new,
             Np_sv=np_sv,
@@ -394,15 +495,18 @@ def make_step_v2(
 
 
 def to_transposed(state: SimState) -> SimState:
-    """Enter the v2 scan convention: state.packed -> the kernel-native 3-D
-    (16, NR, L) layout (lane p of attribute c at [c, p // L, p % L]). One
-    layout-conversion copy per run() boundary instead of two per step."""
+    """Enter the v2 scan convention: state.packed (and the mirror cache) ->
+    the kernel-native 3-D (C, NR, L) layout (lane p of attribute c at
+    [c, p // L, p % L]). One layout-conversion copy per run() boundary
+    instead of two per step."""
     from nanokappa_tpu.ops.megastep import tile_width
 
     N = state.packed.shape[0]
     L = tile_width(N) // 8
     return dataclasses.replace(
-        state, packed=state.packed.T.reshape(16, N // L, L)
+        state,
+        packed=state.packed.T.reshape(16, N // L, L),
+        mirror=state.mirror.T.reshape(8, N // L, L),
     )
 
 
@@ -410,18 +514,24 @@ def from_transposed(state: SimState) -> SimState:
     """Leave the v2 scan convention: state.packed -> (N, 16)."""
     C, NR, L = state.packed.shape
     return dataclasses.replace(
-        state, packed=state.packed.reshape(16, NR * L).T
+        state,
+        packed=state.packed.reshape(16, NR * L).T,
+        mirror=state.mirror.reshape(8, NR * L).T,
     )
 
 
-def refresh_tau_T(stateT: SimState, geo, mat, params) -> SimState:
+def refresh_tau_T(
+    stateT: SimState, geo, mat, params, use_mirror: bool = False
+) -> SimState:
     """3-D-pool variant of sim/step.py refresh_tau (drift-gated lifetime
     refresh). Runs inside maybe_refresh_tau's cond branch, so the flat-view
-    layout conversions here cost nothing on the converged plateau."""
+    layout conversions here cost nothing on the converged plateau. With
+    `use_mirror` the cached mirror-mode lifetime refreshes on the same
+    cadence (X_TAU column)."""
     from nanokappa_tpu.sim.binning import interp_T_particles, subvol_id
     from nanokappa_tpu.sim.scatter import lifetime_by_sv, lifetime_lookup
     from nanokappa_tpu.sim.state import (
-        C_ALIVE, C_MODE, C_TAU, _bc_i32,
+        C_ALIVE, C_MODE, C_TAU, X_MODE, X_TAU, _bc_i32,
     )
 
     C, NR, L = stateT.packed.shape
@@ -431,6 +541,7 @@ def refresh_tau_T(stateT: SimState, geo, mat, params) -> SimState:
     alive = pT[C_ALIVE] > 0.5
     sv = subvol_id(geo, pos)
     if params.temp_interp == "nearest":
+        T_p = None
         tau = lifetime_by_sv(mat, stateT.T_sv, sv, mode)
     else:
         T_p = interp_T_particles(
@@ -438,9 +549,22 @@ def refresh_tau_T(stateT: SimState, geo, mat, params) -> SimState:
         )
         tau = lifetime_lookup(mat, T_p, mode)
     packed = pT.at[C_TAU].set(jnp.where(alive, tau, pT[C_TAU]))
-    return dataclasses.replace(
+    out = dataclasses.replace(
         stateT, packed=packed.reshape(16, NR, L)
     )
+    if use_mirror:
+        mT = stateT.mirror.reshape(8, NR * L)
+        m_mode = _bc_i32(mT[X_MODE])
+        has = alive & (m_mode >= 0)
+        M = mat.tau.shape[1]
+        m_c = jnp.clip(m_mode, 0, M - 1)
+        if params.temp_interp == "nearest":
+            tau_m = lifetime_by_sv(mat, stateT.T_sv, sv, m_c)
+        else:
+            tau_m = lifetime_lookup(mat, T_p, m_c)
+        mT = mT.at[X_TAU].set(jnp.where(has, tau_m, mT[X_TAU]))
+        out = dataclasses.replace(out, mirror=mT.reshape(8, NR, L))
+    return out
 
 
 def make_finalize(geo, mat, params):

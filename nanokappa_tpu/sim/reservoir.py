@@ -405,6 +405,7 @@ def inject(
 
     new_state = SimState(
         packed=packed,
+        mirror=state.mirror,
         sv_id=state.sv_id,
         T_sv=state.T_sv,
         Np_sv=state.Np_sv,

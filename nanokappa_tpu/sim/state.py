@@ -87,6 +87,19 @@ C_SV = 15  # subvolume id (i32 bitcast), refreshed by the binning pass each
 #   step; the fused-kernel step reads it for the deferred RTA temperature
 N_COLS = 16
 
+# columns of the MIRROR side pool (SimState.mirror, (N, M_COLS)): the cached
+# specular-correspondence partner of each particle's mode for the single
+# rough-wall normal family. When the fast path is eligible
+# (sim/fused.py mirror_eligible), a specular reflection inside the drift
+# kernel is a pure register swap of (mode, omega, vel, tau) with this set
+# (mirror-of-mirror = the original mode) plus the occupation re-reference —
+# no mode-table gather, no event export.
+X_MODE = 0  # correspondence mode (i32 bitcast); -1 = none -> export
+X_OMEGA = 1
+X_VEL = slice(2, 5)
+X_TAU = 5  # tau(T_local, mirror mode) — refreshed with C_TAU
+M_COLS = 8  # padded to the f32 sublane tile
+
 
 def _bc_f32(a: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(a, jnp.float32)
@@ -105,6 +118,14 @@ class SimState:
     # (reflection / injection) — random-index gathers from the (M,) tables
     # are the most expensive primitive on TPU.
     packed: jax.Array  # (N, N_COLS) f32
+
+    # specular-correspondence cache (see the X_* column map): one row per
+    # pool lane, kept aligned with `packed` by the v2 step's appends and
+    # compaction whenever the in-kernel specular fast path is active
+    # (sim/fused.py mirror_eligible); carried untouched otherwise. An
+    # UNFILLED cache (X_MODE = -1 everywhere) is always safe — reflections
+    # fall back to the narrow event machinery.
+    mirror: jax.Array  # (N, M_COLS) f32
 
     # fields refreshed every step
     sv_id: jax.Array  # (N,) i32
@@ -310,6 +331,7 @@ def init_state(
     modes: np.ndarray | None = None,
     occupation: np.ndarray | None = None,
     empty_subvols=(),
+    btab=None,  # BoundaryTables; enables the specular-mirror cache fill
 ) -> SimState:
     rng = np.random.default_rng(seed)
     n_cap = params.n_cap
@@ -393,6 +415,29 @@ def init_state(
     tau_flat = mat.tau.reshape(len(mat.tau_T), -1)
     tau_p = (1 - wt) * tau_flat[ti, modes] + wt * tau_flat[ti + 1, modes]
 
+    # specular-mirror cache (see X_* columns): correspondence partner of each
+    # particle's mode for the rough-wall normal family, with its cached
+    # omega/velocity/lifetime; unfilled (-1) when no boundary tables given
+    mirror = np.zeros((n_cap, M_COLS), dtype=np.float32)
+    mirror[:, X_MODE] = np.full(n_cap, -1, np.int32).view(np.float32)
+    if btab is not None and int(btab.n_rough) > 0:
+        from nanokappa_tpu.sim.boundary_tables import combined_mirror_rows
+
+        sc = combined_mirror_rows(btab, mat)  # (M,8) [p,corr,omega,v,..]
+        if sc is None:
+            sc = np.zeros((M, 8), np.float32)
+            sc[:, 1] = np.full(M, -1, np.int32).view(np.float32)
+        cm = sc[:, 1].view(np.int32)[modes]
+        has = cm >= 0
+        cmc = np.clip(cm, 0, M - 1)
+        tau_m = (1 - wt) * tau_flat[ti, cmc] + wt * tau_flat[ti + 1, cmc]
+        mm = np.zeros((n_p, M_COLS), dtype=np.float32)
+        mm[:, X_MODE] = cm.astype(np.int32).view(np.float32)
+        mm[:, X_OMEGA] = np.where(has, sc[modes, 2], 0.0)
+        mm[:, X_VEL] = np.where(has[:, None], sc[modes, 3:6], 0.0)
+        mm[:, X_TAU] = np.where(has, tau_m, 0.0)
+        mirror[slots] = mm
+
     packed = np.zeros((n_cap, N_COLS), dtype=np.float32)
     packed[:, C_POS] = full(positions.astype(np.float32), 0.0)
     packed[:, C_VEL] = full(vel_p.astype(np.float32), 0.0)
@@ -408,6 +453,7 @@ def init_state(
     packed[:, C_SV] = full(sv.astype(np.int32), 0).view(np.float32)
     state = SimState(
         packed=jnp.asarray(packed),
+        mirror=jnp.asarray(mirror),
         sv_id=jnp.asarray(full(sv.astype(np.int32), 0)),
         T_sv=jnp.asarray(T_sv, dtype=jnp.float32),
         Np_sv=jnp.asarray(np.bincount(sv, minlength=SV).astype(np.int32)),

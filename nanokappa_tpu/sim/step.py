@@ -228,7 +228,7 @@ def build_step(geo, mat, btab, rtab, params, n_inner: int = 1, n_outer: int = 1)
 
     if is_v2:
         run_blocks = make_v2_block_runner(
-            geo, mat, params, step, n_inner, n_outer
+            geo, mat, btab, params, step, n_inner, n_outer
         )
         return jax.jit(run_blocks)
 
@@ -255,7 +255,9 @@ def build_step(geo, mat, btab, rtab, params, n_inner: int = 1, n_outer: int = 1)
     return run
 
 
-def make_v2_block_runner(geo, mat, params, step, n_inner, n_outer, vary=None):
+def make_v2_block_runner(
+    geo, mat, btab, params, step, n_inner, n_outer, vary=None
+):
     """The v2 scan harness: pool in the kernel-native 3-D layout, a
     compaction cadence sized so tail appends never hit capacity, drift-gated
     tau refresh, one ledger reset per n_inner block. Shared by the
@@ -266,14 +268,16 @@ def make_v2_block_runner(geo, mat, params, step, n_inner, n_outer, vary=None):
     Returns run_blocks(state) -> (state, last_outputs): ONE StepOutputs when
     n_outer == 1, else n_outer stacked rows."""
     import dataclasses
+    from functools import partial as _partial
 
     from nanokappa_tpu.ops.compact_pool import compact_pool
     from nanokappa_tpu.sim import fused as _fused
     from nanokappa_tpu.sim.fused import (
-        from_transposed, refresh_tau_T, to_transposed,
+        from_transposed, mirror_eligible, refresh_tau_T, to_transposed,
     )
 
     interp = jax.default_backend() == "cpu" or _fused.FORCE_INTERPRET
+    use_mirror = mirror_eligible(geo, btab, params, mat)
 
     # Tail-room invariant: each step appends up to EVT_CAP + inj_cap rows
     # at the pool tail (event re-entry + injections, sim/fused.py) and
@@ -291,10 +295,14 @@ def make_v2_block_runner(geo, mat, params, step, n_inner, n_outer, vary=None):
     n_sub = n_inner // m
 
     def compacted(stateT: SimState) -> SimState:
-        pool, tail = compact_pool(stateT.packed, interpret=interp, vma=vary)
+        pool, mirr, tail = compact_pool(
+            stateT.packed, stateT.mirror if use_mirror else None,
+            interpret=interp, vma=vary,
+        )
         return dataclasses.replace(
             stateT,
             packed=pool,
+            mirror=mirr if use_mirror else stateT.mirror,
             free_count=stateT.free_count.at[0].set(tail),
         )
 
@@ -305,7 +313,8 @@ def make_v2_block_runner(geo, mat, params, step, n_inner, n_outer, vary=None):
 
     def block(stateT: SimState, _=None):
         stateT = maybe_refresh_tau(
-            stateT, geo, mat, params, fn=refresh_tau_T
+            stateT, geo, mat, params,
+            fn=_partial(refresh_tau_T, use_mirror=use_mirror),
         )
         if n_sub == 1:
             stateT, last = sub(stateT)

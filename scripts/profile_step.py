@@ -62,7 +62,9 @@ def build(n_particles, mesh_pts, debug_skip="", n_inner=20, **overrides):
     params = SimParams(**kw)
     geo = build_device_geometry(dom)
     btab = build_boundary_tables(mat, dom)
-    state = init_state(mat, dom, geo, params, n_p, temp_dist="linear")
+    state = init_state(
+        mat, dom, geo, params, n_p, temp_dist="linear", btab=btab
+    )
     run = build_step(geo, mat.device_tables(), btab, rtab, params, n_inner=n_inner)
     return run, state
 
