@@ -101,3 +101,42 @@ def test_segment_validity_matches_bruteforce():
         axis=1,
     )
     np.testing.assert_array_equal(np.asarray(seg_valid), expected)
+
+
+def test_compact_pool_mirror_lockstep():
+    """Joint pool+mirror compaction must apply the SAME permutation to both
+    arrays (lane alignment is the mirror cache's core invariant)."""
+    from nanokappa_tpu.ops.compact_pool import compact_pool
+    from nanokappa_tpu.sim.state import C_ALIVE
+
+    rng = np.random.default_rng(3)
+    N, L = 16384, 2048
+    pool = rng.normal(size=(16, N)).astype(np.float32)
+    alive = rng.random(N) < 0.8
+    pool[C_ALIVE] = alive.astype(np.float32)
+    # mirror rows tagged with their lane id so alignment is checkable, and
+    # with bit-hazard columns (denormals) so the network must bit-preserve
+    mirr = np.zeros((8, N), np.float32)
+    mirr[0] = np.arange(N, dtype=np.int32).view(np.float32)
+    mirr[5] = (np.arange(N, dtype=np.int32) % 11).view(np.float32)
+    pool[0] = np.arange(N, dtype=np.float32)  # lane id as float too
+    p3 = jnp.asarray(pool.reshape(16, N // L, L))
+    m3 = jnp.asarray(mirr.reshape(8, N // L, L))
+    out3, mout3, tail = jax.jit(
+        lambda a, b: compact_pool(a, b, interpret=True)
+    )(p3, m3)
+    out = np.asarray(out3).reshape(16, N)
+    mout = np.asarray(mout3).reshape(8, N)
+    tail = int(tail)
+    oa = out[14] > 0.5
+    assert oa[:].sum() == alive.sum() and not oa[tail:].any()
+    live = np.where(oa)[0]
+    src = out[0, live].astype(np.int64)  # original lane of each packed lane
+    np.testing.assert_array_equal(np.sort(src), np.sort(np.where(alive)[0]))
+    # mirror rows moved in lockstep, bit-exact
+    np.testing.assert_array_equal(
+        mout[0, live].view(np.int32), src.astype(np.int32)
+    )
+    np.testing.assert_array_equal(
+        mout[5, live].view(np.int32), (src % 11).astype(np.int32)
+    )
