@@ -69,3 +69,24 @@ def test_v2_step_matches_v1_on_chip():
             np.asarray(a.Np_sv), np.asarray(b.Np_sv))
         np.testing.assert_array_equal(
             np.asarray(a.n_leaving), np.asarray(b.n_leaving))
+
+
+def test_v2_mirror_specular_on_chip():
+    """The Mosaic-compiled specular fast path (mirror-cache register swap,
+    ops/megastep.py step 4) vs the v1 XLA cascade on an eta = 0 film: the
+    two resolve reflections in entirely different code, so agreement here
+    validates the in-kernel swap + re-cast on real hardware."""
+    from tests.test_fused import _run
+
+    s1, o1, _ = _run("v1", bound="TTRRP", rough=0.0, n_steps=4)
+    s2, o2, _ = _run("v2", bound="TTRRP", rough=0.0, n_steps=4)
+    for k, (a, b) in enumerate(zip(o1, o2)):
+        np.testing.assert_allclose(
+            np.asarray(a.T_sv), np.asarray(b.T_sv), rtol=1e-4,
+            err_msg=f"T_sv step {k}")
+        np.testing.assert_allclose(
+            np.asarray(a.Np_sv), np.asarray(b.Np_sv), atol=3)
+        assert int(b.lost) == 0
+    # specular walls seal the domain
+    pos = np.asarray(s2.pos)[np.asarray(s2.alive)]
+    assert pos[:, 1].min() >= -1e-3 and pos[:, 1].max() <= 1e3 + 1e-3
