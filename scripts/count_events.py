@@ -65,9 +65,13 @@ def main():
     )
     geo = build_device_geometry(dom)
 
-    packedT = state.packed.T
-    pool, tail = compact_pool(packedT)
-    _, _, ecnt, acnt, _, _, _ = drift_megastep(
+    from nanokappa_tpu.ops.megastep import tile_width
+
+    N = state.packed.shape[0]
+    L = tile_width(N) // 8
+    pool3 = state.packed.T.reshape(16, N // L, L)
+    pool, _, tail = compact_pool(pool3)
+    _, _, ecnt, acnt, _, _, _, _, _ = drift_megastep(
         pool, state.T_sv, jax.numpy.asarray(1), geo, params
     )
     key = jax.random.fold_in(state.key, state.step)
