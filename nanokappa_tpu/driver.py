@@ -490,7 +490,11 @@ class Simulation:
     # -------------------------------------------------------------- outputs
 
     def occupation_of(self, state) -> np.ndarray:
-        omega = self.material.omega.reshape(-1)[np.asarray(state.mode)]
+        # dead pool lanes carry arbitrary bits in the mode column — clip
+        # before the table lookup (callers mask by `alive` afterwards; a
+        # garbage id outside [-M, M) would raise in numpy fancy indexing)
+        mode = np.clip(np.asarray(state.mode), 0, self.material.n_modes - 1)
+        omega = self.material.omega.reshape(-1)[mode]
         return np.asarray(state.dev, dtype=float) + bose_einstein(
             self.params.t_reference, omega
         )

@@ -42,6 +42,12 @@ class DeviceGeometry:
     res_temperature: jax.Array  # (R,) f32
     res_area: jax.Array  # (R,) f32
     res_normal: jax.Array  # (R,3) outward normal of each reservoir facet
+    res_rect: jax.Array  # (R,9) [origin, span1, span2] rectangle
+    #   parameterisation of each reservoir facet (box domains only; (0,9)
+    #   otherwise): position sampling becomes origin + u1*s1 + u2*s2 — one
+    #   tiny-row gather instead of the triangle-CDF inversion + three
+    #   triangle-table gathers (distribution identical: the facet IS the
+    #   rectangle)
 
     # subvolumes
     subvol_center: jax.Array  # (SV,3)
@@ -124,6 +130,24 @@ def build_device_geometry(domain: Domain, dtype=jnp.float32) -> DeviceGeometry:
             box_sign[f] = np.sign(n[ax])
             box_plane[f] = pts[0, ax]
 
+    # rectangle parameterisation of reservoir facets (box walls are exact
+    # rectangles: uniform (u1, u2) over [origin, origin+s1, origin+s2] is the
+    # same uniform-on-facet distribution as the triangle-CDF sampler)
+    if is_box and R > 0:
+        res_rect = np.zeros((R, 9))
+        for i, f in enumerate(domain.res_facets):
+            pts = mesh.tri[mesh.facets[f]].reshape(-1, 3)
+            ax = int(box_axis[f])
+            a1, a2 = [a for a in range(3) if a != ax]
+            lo, hi = pts.min(axis=0), pts.max(axis=0)
+            s1 = np.zeros(3)
+            s1[a1] = hi[a1] - lo[a1]
+            s2 = np.zeros(3)
+            s2[a2] = hi[a2] - lo[a2]
+            res_rect[i] = np.concatenate([lo, s1, s2])
+    else:
+        res_rect = np.zeros((0, 9))
+
     return DeviceGeometry(
         tri_origin=jnp.asarray(tri_origin, dtype=dtype),
         tri_e1=jnp.asarray(tri_e1, dtype=dtype),
@@ -148,6 +172,7 @@ def build_device_geometry(domain: Domain, dtype=jnp.float32) -> DeviceGeometry:
         res_normal=jnp.asarray(
             mesh.facet_normals[domain.res_facets], dtype=dtype
         ),
+        res_rect=jnp.asarray(res_rect, dtype=dtype),
         box_axis=jnp.asarray(box_axis),
         box_sign=jnp.asarray(box_sign, dtype=dtype),
         box_plane=jnp.asarray(box_plane, dtype=dtype),

@@ -299,31 +299,48 @@ def sample_injections(
         raise ValueError(f"unknown reservoir_gen '{params.res_gen}'")
 
     # compact valid entries to the front (cumsum-rank packing; cheaper than a
-    # full argsort on TPU)
-    from nanokappa_tpu.sim.cascade import _compact
+    # full argsort on TPU). The 'pooled' generator's validity mask is ALREADY
+    # a prefix (lane < boundaries[-1]) with reservoir-sorted lanes, so its
+    # compaction + three reorder gathers are identity ops — skipped (~0.1
+    # ms/step at inj_cap=2.4k in the round-3 trace).
+    if params.res_gen != "pooled":
+        from nanokappa_tpu.sim.cascade import _compact
 
-    order, _ = _compact(inj_valid, cap)
-    order = jnp.minimum(order, cap - 1)  # sentinel lanes sit beyond n_valid
-    inj_mode = inj_mode[order]
-    inj_res = inj_res[order]
-    inj_dtin = inj_dtin[order]
+        order, _ = _compact(inj_valid, cap)
+        order = jnp.minimum(order, cap - 1)  # sentinel lanes past n_valid
+        inj_mode = inj_mode[order]
+        inj_res = inj_res[order]
+        inj_dtin = inj_dtin[order]
 
-    # positions on the reservoir facet: pick triangle by area CDF + barycentric
-    ut = jax.random.uniform(k_tri, (cap,))
-    rows = geo.res_tri_cdf[inj_res]  # (cap,K); K is small (triangles/facet)
-    # CDF inversion by counting (vmapped searchsorted lowers to a scalar loop
-    # on TPU): index = #(cdf entries < u)
-    t_in_row = (rows < ut[:, None]).sum(axis=1).astype(jnp.int32)
-    t_in_row = jnp.minimum(t_in_row, geo.res_tri_cdf.shape[1] - 1)
-    tri = geo.res_tri_idx[inj_res, t_in_row]  # (cap,)
-    b = jax.random.uniform(k_pos1, (cap, 2))
-    flip = b.sum(axis=1) > 1.0
-    b = jnp.where(flip[:, None], 1.0 - b, b)
-    inj_pos = (
-        geo.tri_origin[tri]
-        + b[:, :1] * geo.tri_e1[tri]
-        + b[:, 1:] * geo.tri_e2[tri]
-    )
+    # positions on the reservoir facet
+    if geo.is_box and geo.res_rect.shape[0] == R:
+        # box fast path: walls are rectangles — origin + u1*s1 + u2*s2 from
+        # one (R,9) tiny-table row gather (same uniform-on-facet law as the
+        # triangle-CDF sampler below)
+        u2 = jax.random.uniform(k_pos1, (cap, 2))
+        rect = geo.res_rect[inj_res]  # (cap,9)
+        inj_pos = (
+            rect[:, 0:3]
+            + u2[:, :1] * rect[:, 3:6]
+            + u2[:, 1:2] * rect[:, 6:9]
+        )
+    else:
+        # pick triangle by area CDF + barycentric (general facets)
+        ut = jax.random.uniform(k_tri, (cap,))
+        rows = geo.res_tri_cdf[inj_res]  # (cap,K); K small (tris/facet)
+        # CDF inversion by counting (vmapped searchsorted lowers to a scalar
+        # loop on TPU): index = #(cdf entries < u)
+        t_in_row = (rows < ut[:, None]).sum(axis=1).astype(jnp.int32)
+        t_in_row = jnp.minimum(t_in_row, geo.res_tri_cdf.shape[1] - 1)
+        tri = geo.res_tri_idx[inj_res, t_in_row]  # (cap,)
+        b = jax.random.uniform(k_pos1, (cap, 2))
+        flip = b.sum(axis=1) > 1.0
+        b = jnp.where(flip[:, None], 1.0 - b, b)
+        inj_pos = (
+            geo.tri_origin[tri]
+            + b[:, :1] * geo.tri_e1[tri]
+            + b[:, 1:] * geo.tri_e2[tri]
+        )
 
     # occupation at reservoir temperature (classes/Population.py:505-506);
     # omega/velocity/tau(T_res) come from ONE row gather over the combined
