@@ -207,11 +207,17 @@ def _kernel(
 ):
     if cfg["use_mirror"]:
         (mir_ref, out_ref, mout_ref, evt_hbm, cnt_ref, ledger_ref, bins_ref,
-         acc_ref, bacc_ref, evt_s, off_ref, sem) = rest
+         acc_ref, bacc_ref, stage, off_ref, sem) = rest
     else:
         mir_ref = mout_ref = None
         (out_ref, evt_hbm, cnt_ref, ledger_ref, bins_ref,
-         acc_ref, bacc_ref, evt_s, off_ref, sem) = rest
+         acc_ref, bacc_ref, stage, off_ref, sem) = rest
+    # the staging scratch doubles as the (1, BN) i32 index row (index-export
+    # path) or the (16, W_EXP) f32 extracted-rows buffer (row-export path)
+    if cfg["export_rows"]:
+        rows_s = stage
+    else:
+        evt_s = stage
     # out_ref: (16, 8, BN8) drifted tile
     # evt_hbm: (1, ECAP + BN) i32 global event-index buffer (ANY, manual DMA)
     # cnt_ref: (nb, 8) i32 SMEM [pend_count, alive_count, seg_start, kept]
@@ -485,18 +491,33 @@ def _kernel(
     # lanes clamped off by ECAP stay pending in the pool (frozen, counted
     # outside from pend_count - seg_kept).
     pend = alive & (rem > _REMAIN_EPS) & (cf >= 0) & (t_coll <= 1e-9)
-    evt_packed, evt_cnt, rank = _compact_flat(pend, gidx, _SENT)
-    off = off_ref[0]
-    kept = jnp.minimum(evt_cnt, cfg["ecap"] - off)
+    if cfg["export_rows"]:
+        # ROW export (mirror fast path, pending lanes are ~2/tile): the
+        # 14-stage log-shift value network is skipped — only the rank cumsum
+        # runs, and the few pending lanes' 16 columns are extracted from the
+        # written tile by a bounded scalar loop (step 5.9 below, after the
+        # out_ref writes). This removes the XLA side's full-pool
+        # layout-conversion copy + row gather entirely (0.25 + 0.15 ms/step
+        # at N=1.25e6 in the round-3 trace).
+        rank = _cumsum_flat(pend.astype(jnp.int32))
+        evt_cnt = jnp.sum(pend.astype(jnp.int32))
+        off = off_ref[0]
+        kept = jnp.minimum(
+            jnp.minimum(evt_cnt, cfg["ecap"] - off), cfg["w_exp"]
+        )
+    else:
+        evt_packed, evt_cnt, rank = _compact_flat(pend, gidx, _SENT)
+        off = off_ref[0]
+        kept = jnp.minimum(evt_cnt, cfg["ecap"] - off)
+        row = _unflat8(evt_packed)  # (1, BN) ascending indices, _SENT fill
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+        evt_s[:, :] = jnp.where(lane_r < kept, row, _SENT)
+        cp = pltpu.make_async_copy(
+            evt_s, evt_hbm.at[:, pl.ds(pl.multiple_of(off, 128), BN)], sem
+        )
+        cp.start()
+        cp.wait()
     off_ref[0] = off + ((kept + 127) // 128) * 128
-    row = _unflat8(evt_packed)  # (1, BN) ascending indices, _SENT filled
-    lane_r = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-    evt_s[:, :] = jnp.where(lane_r < kept, row, _SENT)
-    cp = pltpu.make_async_copy(
-        evt_s, evt_hbm.at[:, pl.ds(pl.multiple_of(off, 128), BN)], sem
-    )
-    cp.start()
-    cp.wait()
     cnt_ref[b, 0] = evt_cnt
     cnt_ref[b, 1] = jnp.sum((alive & in_pool).astype(jnp.int32))
     cnt_ref[b, 2] = off
@@ -567,6 +588,44 @@ def _kernel(
         ):
             mout_ref[c] = v
 
+    # ---- 5.9 exported-row extraction (export_rows path) --------------------
+    # Pending lanes' 16 columns are read back from the freshly written tile
+    # (out_ref aliases in_ref — the values are the post-step pool bits, the
+    # exact rows the XLA gather used to fetch) by a dynamic-trip-count scalar
+    # loop: per exported slot k, find its lane by rank, load the aligned
+    # (16, 8, 128) chunk containing it and mask-reduce the (sublane, lane)
+    # position out. ~1.5 us/lane measured — at the mirror path's ~2 pending
+    # lanes/tile this is ~0.03 ms/step, vs 0.4 ms for the XLA copy+gather.
+    if cfg["export_rows"]:
+        W = cfg["w_exp"]
+        lidx = _iota_flat(SH)
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, (16, 8, 128), 1)
+        lane2d = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
+        laneW = jax.lax.broadcasted_iota(jnp.int32, (16, W), 1)
+
+        def _extract(k, acc):
+            p = jnp.sum(jnp.where(pend & (rank == k + 1), lidx, 0))
+            r = p // BN8
+            l = p - r * BN8
+            l0 = pl.multiple_of((l // 128) * 128, 128)
+            loff = l - l0
+            v = out_ref[:, :, pl.ds(l0, 128)]  # (16, 8, 128) aligned load
+            v2d = jnp.sum(jnp.where(sub8 == r, v, 0.0), axis=1)  # (16,128)
+            col = jnp.sum(
+                jnp.where(lane2d == loff, v2d, 0.0), axis=1, keepdims=True
+            )  # (16,1)
+            return jnp.where(laneW == k, col, acc)
+
+        acc_rows = jax.lax.fori_loop(
+            0, kept, _extract, jnp.zeros((16, W), jnp.float32)
+        )
+        rows_s[:, :] = acc_rows
+        cp = pltpu.make_async_copy(
+            rows_s, evt_hbm.at[:, pl.ds(pl.multiple_of(off, 128), W)], sem
+        )
+        cp.start()
+        cp.wait()
+
     @pl.when(b == nb - 1)
     def _fin():
         ledger_ref[:, :] = acc_ref[:, :]
@@ -591,14 +650,22 @@ def drift_megastep(
     ecap: int = 0,  # event-buffer capacity (128-multiple); 0 -> N // 64
     interpret: bool = False,
     vma=None,
+    export_rows: bool = False,  # export full 16-column ROWS instead of
+    #   indices (scalar extraction loop — only viable at the mirror fast
+    #   path's ~2 pending lanes/tile); w_exp lanes max per tile
+    w_exp: int = 128,
 ):
-    """Returns (pool3' (16, NR, L), evt_buf (ecap + BN,) i32 — ascending
-    event indices packed into per-block 128-aligned segments
-    [starts[b], starts[b] + kept[b]), sentinel _SENT elsewhere —
-    pend_counts (nb,) i32, alive_counts (nb,) i32, starts (nb,) i32,
-    kept (nb,) i32, ledger (8, 5) f32, bins (SV8, 5) f32 raw subvolume
-    sums [e, e*vx, e*vy, e*vz, Np] over the lanes that stay in the pool,
-    mirror3' (8, NR, L) or None).
+    """Returns (pool3' (16, NR, L), evt_buf, pend_counts (nb,) i32,
+    alive_counts (nb,) i32, starts (nb,) i32, kept (nb,) i32, ledger (8, 5)
+    f32, bins (SV8, 5) f32 raw subvolume sums [e, e*vx, e*vy, e*vz, Np] over
+    the lanes that stay in the pool, mirror3' (8, NR, L) or None).
+
+    evt_buf: with export_rows=False, (ecap + BN,) i32 ascending event
+    indices packed into per-block 128-aligned segments
+    [starts[b], starts[b] + kept[b]), sentinel _SENT elsewhere; with
+    export_rows=True, (16, ecap + w_exp) f32 — the pending lanes' packed
+    POOL ROWS at the same segment positions (lanes outside the segments are
+    unspecified — consumers gate on the (starts, kept) extents).
 
     Exported lanes are marked DEAD in pool3' — their live copies ride the
     event buffer and re-enter at the pool tail (sim/fused.py append)."""
@@ -654,6 +721,8 @@ def drift_megastep(
         bn=bn,
         ecap=ecap,
         use_mirror=mirror3 is not None,
+        export_rows=bool(export_rows),
+        w_exp=int(w_exp),
         sv8=SV8,
         lo_b=float(bounds[0, ax]),
         inv_len=float(SV / (bounds[1, ax] - bounds[0, ax])),
@@ -666,6 +735,9 @@ def drift_megastep(
         ecap = max(2048, -(-(N // 64) // 128) * 128)
     assert ecap % 128 == 0
     cfg["ecap"] = ecap
+    w_exp = -(-int(w_exp) // 128) * 128  # DMA window: whole 128-lane rows
+    cfg["w_exp"] = w_exp
+    cfg["export_rows"] = bool(export_rows)
 
     use_mirror = mirror3 is not None
     pool_spec = pl.BlockSpec(
@@ -697,8 +769,13 @@ def drift_megastep(
             (SV8, 128), lambda b: (0, 0), memory_space=pltpu.VMEM
         ),
     ]
+    evt_shape = (
+        jax.ShapeDtypeStruct((16, ecap + w_exp), jnp.float32)
+        if export_rows
+        else jax.ShapeDtypeStruct((1, ecap + bn), jnp.int32)
+    )
     out_shape += [
-        jax.ShapeDtypeStruct((1, ecap + bn), jnp.int32),
+        evt_shape,
         jax.ShapeDtypeStruct((nb, 8), jnp.int32),
         jax.ShapeDtypeStruct((8, 128), jnp.float32),
         jax.ShapeDtypeStruct((SV8, 128), jnp.float32),
@@ -716,7 +793,11 @@ def drift_megastep(
         scratch_shapes=[
             pltpu.VMEM((8, 128), jnp.float32),
             pltpu.VMEM((SV8, 128), jnp.float32),
-            pltpu.VMEM((1, bn), jnp.int32),
+            (
+                pltpu.VMEM((16, w_exp), jnp.float32)
+                if export_rows
+                else pltpu.VMEM((1, bn), jnp.int32)
+            ),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -742,7 +823,9 @@ def drift_megastep(
         mir_out = None
     return (
         pool_out,
-        evt_buf[0],  # (ecap + bn,) segmented ascending event indices
+        # (16, ecap + w_exp) packed rows (export_rows) or (ecap + bn,)
+        # segmented ascending event indices
+        evt_buf if export_rows else evt_buf[0],
         cnts[:, 0],  # full pending-event counts
         cnts[:, 1],  # alive counts
         cnts[:, 2],  # segment starts (128-aligned)

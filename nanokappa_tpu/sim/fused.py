@@ -348,11 +348,11 @@ def make_step_v2(
             pool3, state.T_sv, state.step > 0, geo, params,
             mirror3=mirror3 if use_mirror else None,
             ecap=EVT_CAP, interpret=interpret, vma=vary,
+            export_rows=use_mirror,
         )
         if not use_mirror:
             mirror3_d = mirror3
         frozen_k = jnp.sum(ecnt - ecnt_c)
-        evt_idx = evt_buf[:EVT_CAP]
 
         # Buffer-lane validity from the per-block segment extents: lanes
         # beyond the LAST block's DMA window are UNINITIALISED device memory
@@ -372,16 +372,23 @@ def make_step_v2(
             axis=1,
         )
 
-        # 3. event machinery on the gathered rows (reflections, deep chains).
-        # The flat view for the row gather costs one layout-conversion copy
-        # of the pool; the (row, lane) 2-index gather on the 3-D layout
-        # avoided it but ran 0.46 ms/step vs 0.25 for copy + flat take
-        # (round-3 trace at N=1.25e6)
-        vbuf = (evt_idx < N) & seg_valid
-        idx_c = jnp.minimum(evt_idx, N - 1)
-        rows = jnp.take(
-            pool3_d.reshape(16, N), idx_c, axis=1, mode="clip"
-        ).T
+        # 3. event machinery on the exported/gathered rows (reflections,
+        # deep chains). On the mirror path the kernel exports the ROWS
+        # themselves (ops/megastep.py step 5.9) — no full-pool
+        # layout-conversion copy, no row gather (0.25 + 0.15 ms/step at
+        # N=1.25e6 in the round-3 trace). The index path remains for
+        # mirror-off configs, whose event rate makes in-kernel scalar
+        # extraction slower than the XLA gather.
+        if use_mirror:
+            vbuf = seg_valid
+            rows = evt_buf[:, :EVT_CAP].T  # (EVT_CAP, 16)
+        else:
+            evt_idx = evt_buf[:EVT_CAP]
+            vbuf = (evt_idx < N) & seg_valid
+            idx_c = jnp.minimum(evt_idx, N - 1)
+            rows = jnp.take(
+                pool3_d.reshape(16, N), idx_c, axis=1, mode="clip"
+            ).T
         rows_out, mledger, lost2, frozen2 = run_event_buffer(
             rows, vbuf, geo, mat, btab, params, k_casc, state.T_sv, R8, pvary
         )
