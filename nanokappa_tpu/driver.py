@@ -242,7 +242,7 @@ class Simulation:
         from nanokappa_tpu.sim.fused import make_finalize, v2_eligible
 
         self._finalize = (
-            make_finalize(self.geo, self.mtab, self.params)
+            make_finalize(self.geo, self.mtab, self.params, btab=self.btab)
             if v2_eligible(self.geo, self.params)
             else (lambda s: s)
         )

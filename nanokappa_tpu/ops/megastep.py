@@ -207,17 +207,18 @@ def _kernel(
 ):
     if cfg["use_mirror"]:
         (mir_ref, out_ref, mout_ref, evt_hbm, cnt_ref, ledger_ref, bins_ref,
-         acc_ref, bacc_ref, stage, off_ref, sem) = rest
+         *tail_refs) = rest
     else:
         mir_ref = mout_ref = None
-        (out_ref, evt_hbm, cnt_ref, ledger_ref, bins_ref,
-         acc_ref, bacc_ref, stage, off_ref, sem) = rest
-    # the staging scratch doubles as the (1, BN) i32 index row (index-export
-    # path) or the (16, W_EXP) f32 extracted-rows buffer (row-export path)
+        (out_ref, evt_hbm, cnt_ref, ledger_ref, bins_ref, *tail_refs) = rest
     if cfg["export_rows"]:
-        rows_s = stage
+        # evt_hbm is the VMEM-resident (16, ecap + 2*w_exp) rows output
+        # (revisited block; rows merge in place, no DMA staging needed)
+        rows_ref = evt_hbm
+        acc_ref, bacc_ref, off_ref, sem = tail_refs
     else:
-        evt_s = stage
+        # evt_hbm is the manual-DMA index buffer; evt_s its staging row
+        acc_ref, bacc_ref, evt_s, off_ref, sem = tail_refs
     # out_ref: (16, 8, BN8) drifted tile
     # evt_hbm: (1, ECAP + BN) i32 global event-index buffer (ANY, manual DMA)
     # cnt_ref: (nb, 8) i32 SMEM [pend_count, alive_count, seg_start, kept]
@@ -268,13 +269,17 @@ def _kernel(
     alive = (in_ref[C_ALIVE] > 0.5) & in_pool
     if cfg["use_mirror"]:
         # specular-mirror cache (sim/state.py X_* columns): the cached
-        # correspondence partner's (mode, omega, vel, tau)
+        # correspondence partner's (mode, omega, vel) plus the SLOPE-FORM
+        # lifetime pairs — C_TAU/X_TAU are intercepts, X_TAUB/X_MTAUB the
+        # slopes of tau(T) = a + b*T on the current T-grid bin
         m_mode_b = mir_ref[0]
         m_omega = mir_ref[1]
         m_vx = mir_ref[2]
         m_vy = mir_ref[3]
         m_vz = mir_ref[4]
         m_tau = mir_ref[5]
+        tau_b = mir_ref[6]
+        m_tau_b = mir_ref[7]
         m_mode = i32(m_mode_b)
     # position-derived subvolume id (slice domains are index arithmetic) —
     # identical to the C_SV column the round-3 merge kernel used to refresh,
@@ -318,7 +323,17 @@ def _kernel(
             T_p = jnp.where(sv_c == s, tsv_ref[0, s], T_p)
 
     g = occupation_delta_T_k(T_p, t_ref, omega)
-    decay = jnp.where(tau > 0, jnp.exp(-dt / jnp.maximum(tau, 1e-12)), 0.0)
+    if cfg["use_mirror"]:
+        # slope-form lifetime: evaluate at the (table-clamped) local T —
+        # continuously exact table lerp while T stays inside the grid bin
+        # the pair was refreshed on (sim/scatter.py slope_pair)
+        T_c = jnp.clip(T_p, cfg["tau_tmin"], cfg["tau_tmax"])
+        tau_ev = tau + tau_b * T_c
+    else:
+        tau_ev = tau
+    decay = jnp.where(
+        tau_ev > 0, jnp.exp(-dt / jnp.maximum(tau_ev, 1e-12)), 0.0
+    )
     do_rta = alive & (cf != STALE) & (rta_ref[0, 0] > 0)
     dev = jnp.where(do_rta, g + (dev - g) * decay, dev)
 
@@ -439,7 +454,8 @@ def _kernel(
                 return jnp.where(rfl, bb, a), jnp.where(rfl, a, bb)
 
             omega, m_omega = sw(omega, m_omega)
-            tau, m_tau = sw(tau, m_tau)
+            tau, m_tau = sw(tau, m_tau)  # intercepts a <-> a_m
+            tau_b, m_tau_b = sw(tau_b, m_tau_b)  # slopes b <-> b_m
             mode_b, m_mode_b = sw(mode_b, m_mode_b)
             m_mode = i32(m_mode_b)
             vx, m_vx = sw(vx, m_vx)
@@ -498,13 +514,17 @@ def _kernel(
         # written tile by a bounded scalar loop (step 5.9 below, after the
         # out_ref writes). This removes the XLA side's full-pool
         # layout-conversion copy + row gather entirely (0.25 + 0.15 ms/step
-        # at N=1.25e6 in the round-3 trace).
+        # at N=1.25e6 in the round-3 trace). Rows pack TIGHTLY (off advances
+        # by exactly kept): the index path's per-block 128-aligned segments
+        # wasted ~64x buffer width at this event rate and silently froze
+        # ~100 events/step against ECAP on the film config.
         rank = _cumsum_flat(pend.astype(jnp.int32))
         evt_cnt = jnp.sum(pend.astype(jnp.int32))
         off = off_ref[0]
         kept = jnp.minimum(
             jnp.minimum(evt_cnt, cfg["ecap"] - off), cfg["w_exp"]
         )
+        off_ref[0] = off + kept
     else:
         evt_packed, evt_cnt, rank = _compact_flat(pend, gidx, _SENT)
         off = off_ref[0]
@@ -517,7 +537,7 @@ def _kernel(
         )
         cp.start()
         cp.wait()
-    off_ref[0] = off + ((kept + 127) // 128) * 128
+        off_ref[0] = off + ((kept + 127) // 128) * 128
     cnt_ref[b, 0] = evt_cnt
     cnt_ref[b, 1] = jnp.sum((alive & in_pool).astype(jnp.int32))
     cnt_ref[b, 2] = off
@@ -582,9 +602,8 @@ def _kernel(
     ):
         out_ref[c] = v
     if cfg["use_mirror"]:
-        zero = jnp.zeros(SH, f32)
         for c, v in enumerate(
-            [m_mode_b, m_omega, m_vx, m_vy, m_vz, m_tau, zero, zero]
+            [m_mode_b, m_omega, m_vx, m_vy, m_vz, m_tau, tau_b, m_tau_b]
         ):
             mout_ref[c] = v
 
@@ -593,15 +612,25 @@ def _kernel(
     # (out_ref aliases in_ref — the values are the post-step pool bits, the
     # exact rows the XLA gather used to fetch) by a dynamic-trip-count scalar
     # loop: per exported slot k, find its lane by rank, load the aligned
-    # (16, 8, 128) chunk containing it and mask-reduce the (sublane, lane)
-    # position out. ~1.5 us/lane measured — at the mirror path's ~2 pending
-    # lanes/tile this is ~0.03 ms/step, vs 0.4 ms for the XLA copy+gather.
+    # (16, 8, 128) chunk containing it, mask-reduce the (sublane, lane)
+    # position out, and PLACE it at window lane d + k (d = this block's
+    # unaligned offset inside the aligned 2*W window). ~1.5 us/lane measured
+    # — at the mirror path's ~2 pending lanes/tile this is ~0.03 ms/step, vs
+    # 0.4 ms for the XLA copy+gather. The window then merges into the
+    # VMEM-resident rows output with pure selects (bit-preserving for the
+    # bitcast int columns — no roll, no unaligned store).
     if cfg["export_rows"]:
         W = cfg["w_exp"]
+        a0 = pl.multiple_of((off // 128) * 128, 128)
+        d = off - a0
         lidx = _iota_flat(SH)
         sub8 = jax.lax.broadcasted_iota(jnp.int32, (16, 8, 128), 1)
         lane2d = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
-        laneW = jax.lax.broadcasted_iota(jnp.int32, (16, W), 1)
+        laneW2 = jax.lax.broadcasted_iota(jnp.int32, (16, 2 * W), 1)
+
+        @pl.when(b == 0)
+        def _zero_rows():
+            rows_ref[:, :] = jnp.zeros(rows_ref.shape, jnp.float32)
 
         def _extract(k, acc):
             p = jnp.sum(jnp.where(pend & (rank == k + 1), lidx, 0))
@@ -614,17 +643,17 @@ def _kernel(
             col = jnp.sum(
                 jnp.where(lane2d == loff, v2d, 0.0), axis=1, keepdims=True
             )  # (16,1)
-            return jnp.where(laneW == k, col, acc)
+            return jnp.where(laneW2 == d + k, col, acc)
 
-        acc_rows = jax.lax.fori_loop(
-            0, kept, _extract, jnp.zeros((16, W), jnp.float32)
-        )
-        rows_s[:, :] = acc_rows
-        cp = pltpu.make_async_copy(
-            rows_s, evt_hbm.at[:, pl.ds(pl.multiple_of(off, 128), W)], sem
-        )
-        cp.start()
-        cp.wait()
+        @pl.when(kept > 0)
+        def _export():
+            acc_rows = jax.lax.fori_loop(
+                0, kept, _extract, jnp.zeros((16, 2 * W), jnp.float32)
+            )
+            window = rows_ref[:, pl.ds(a0, 2 * W)]
+            rows_ref[:, pl.ds(a0, 2 * W)] = jnp.where(
+                (laneW2 >= d) & (laneW2 < d + kept), acc_rows, window
+            )
 
     @pl.when(b == nb - 1)
     def _fin():
@@ -654,6 +683,8 @@ def drift_megastep(
     #   indices (scalar extraction loop — only viable at the mirror fast
     #   path's ~2 pending lanes/tile); w_exp lanes max per tile
     w_exp: int = 128,
+    tau_bounds: tuple | None = None,  # (tau_T[0], tau_T[-1]) clamp for the
+    #   slope-form lifetime evaluation (mirror path)
 ):
     """Returns (pool3' (16, NR, L), evt_buf, pend_counts (nb,) i32,
     alive_counts (nb,) i32, starts (nb,) i32, kept (nb,) i32, ledger (8, 5)
@@ -663,9 +694,9 @@ def drift_megastep(
     evt_buf: with export_rows=False, (ecap + BN,) i32 ascending event
     indices packed into per-block 128-aligned segments
     [starts[b], starts[b] + kept[b]), sentinel _SENT elsewhere; with
-    export_rows=True, (16, ecap + w_exp) f32 — the pending lanes' packed
-    POOL ROWS at the same segment positions (lanes outside the segments are
-    unspecified — consumers gate on the (starts, kept) extents).
+    export_rows=True, (16, ecap + 2*w_exp) f32 — the pending lanes' packed
+    POOL ROWS, TIGHTLY packed (valid lanes = [0, sum(kept)), zero rows
+    beyond — consumers gate on the kept counts).
 
     Exported lanes are marked DEAD in pool3' — their live copies ride the
     event buffer and re-enter at the pool tail (sim/fused.py append)."""
@@ -712,10 +743,14 @@ def drift_megastep(
         slice_axis=ax,
         c0=c0,
         dc=dc,
-        # ONE in-kernel periodic/absorb round: multi-event chains are rare
-        # (<2% of events) and the XLA buffer handles them generically; a
-        # second unrolled round costs every lane the full facet-select pass
-        u_rounds=1,
+        # in-kernel periodic/absorb rounds: multi-event chains are rare
+        # (<2% of events) and the XLA buffer handles them generically. With
+        # the mirror fast path a SECOND unrolled round resolves 2-bounce
+        # chains (specular->specular corner hits, specular->periodic, ...)
+        # in-register, cutting both the event export and the narrow
+        # machinery's while-loop rounds (0.36 ms/step at N=1.25e6);
+        # without it the extra facet-select pass isn't worth it
+        u_rounds=2 if mirror3 is not None else 1,
         n_reservoirs=int(geo.n_reservoirs),
         hbar=HBAR,
         bn=bn,
@@ -723,6 +758,8 @@ def drift_megastep(
         use_mirror=mirror3 is not None,
         export_rows=bool(export_rows),
         w_exp=int(w_exp),
+        tau_tmin=float(tau_bounds[0]) if tau_bounds else 0.0,
+        tau_tmax=float(tau_bounds[1]) if tau_bounds else 3.0e38,
         sv8=SV8,
         lo_b=float(bounds[0, ax]),
         inv_len=float(SV / (bounds[1, ax] - bounds[0, ax])),
@@ -762,7 +799,16 @@ def drift_megastep(
         aliases[3] = 1
         operands.append(mirror3)
     out_specs += [
-        pl.BlockSpec(memory_space=pl.ANY),  # evt_buf: manual DMA
+        (
+            # rows output: ONE VMEM-resident block revisited by every grid
+            # step — rows merge in place, written back once at the end
+            pl.BlockSpec(
+                (16, ecap + 2 * w_exp), lambda b: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            if export_rows
+            else pl.BlockSpec(memory_space=pl.ANY)  # evt idx: manual DMA
+        ),
         pl.BlockSpec(memory_space=pltpu.SMEM),  # counts: whole array
         pl.BlockSpec((8, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
@@ -770,7 +816,7 @@ def drift_megastep(
         ),
     ]
     evt_shape = (
-        jax.ShapeDtypeStruct((16, ecap + w_exp), jnp.float32)
+        jax.ShapeDtypeStruct((16, ecap + 2 * w_exp), jnp.float32)
         if export_rows
         else jax.ShapeDtypeStruct((1, ecap + bn), jnp.int32)
     )
@@ -790,17 +836,17 @@ def drift_megastep(
         grid=(nb,),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((8, 128), jnp.float32),
-            pltpu.VMEM((SV8, 128), jnp.float32),
-            (
-                pltpu.VMEM((16, w_exp), jnp.float32)
-                if export_rows
-                else pltpu.VMEM((1, bn), jnp.int32)
-            ),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((8, 128), jnp.float32),
+                pltpu.VMEM((SV8, 128), jnp.float32),
+            ]
+            + ([] if export_rows else [pltpu.VMEM((1, bn), jnp.int32)])
+            + [
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+            ]
+        ),
     )
     outs = pl.pallas_call(
         partial(_kernel, tables=tables, cfg=cfg),

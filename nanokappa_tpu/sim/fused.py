@@ -69,7 +69,7 @@ from nanokappa_tpu.sim.boundary_tables import BoundaryTables
 from nanokappa_tpu.sim.cascade import _pad8, run_event_buffer
 from nanokappa_tpu.sim.reservoir import ReservoirTables, sample_injections
 from nanokappa_tpu.sim.state import (
-    C_ALIVE, C_DEV, C_OMEGA, C_POS, C_SV, C_VEL, SimParams, SimState,
+    C_ALIVE, C_DEV, C_OMEGA, C_POS, C_SV, C_TAU, C_VEL, SimParams, SimState,
     _bc_f32,
 )
 
@@ -178,16 +178,33 @@ def _append_window(
     )
 
 
+def slope_tau_active(geo, btab, params, mat) -> bool:
+    """SLOPE-FORM lifetimes are active exactly when the v2 mirror fast path
+    runs: C_TAU/X_TAU hold the intercepts and X_TAUB/X_MTAUB the slopes of
+    tau(T) = a + b*T on each particle's current T-grid bin (exactly the
+    lifetime table's lerp within the bin, sim/scatter.py slope_pair). The
+    kernel then evaluates tau continuously from the subvolume temperature,
+    and the full-pool tau refresh (two ~10 ms N-wide gathers at 31^3) runs
+    only when a subvolume temperature CROSSES a grid-bin boundary —
+    effectively never on a converging film — instead of every 0.05 K of
+    drift."""
+    return v2_eligible(geo, params) and mirror_eligible(
+        geo, btab, params, mat
+    )
+
+
 def _mirror_rows(btab, mat, rows, T_sv, geo, params, sv=None):
-    """(E, M_COLS) specular-mirror cache rows for freshly created or
-    mode-changed particle rows (injections, narrow-machinery outputs): one
-    row gather from the extended wall table (sim/boundary_tables.py
-    _spec_ext: [p, corr, omega[corr], v[corr]]) plus the correspondence
-    mode's lifetime at the particle's local temperature — the same lookup
-    the cascade uses for its own tau refresh."""
-    from nanokappa_tpu.sim.binning import interp_T_particles
-    from nanokappa_tpu.sim.scatter import lifetime_by_sv, lifetime_lookup
-    from nanokappa_tpu.sim.state import C_MODE, M_COLS, _bc_i32
+    """Specular-mirror cache rows for freshly created or mode-changed
+    particle rows (injections, narrow-machinery outputs): one row gather
+    from the extended wall table (sim/boundary_tables.py _spec_ext:
+    [p, corr, omega[corr], v[corr]]) plus the SLOPE-FORM lifetime pairs of
+    both the main and the mirror mode (sim/scatter.py slope_pair).
+
+    Returns (mrows (E, M_COLS), tau_a (E,)): the mirror rows and the main
+    mode's intercept, which the caller writes into the rows' C_TAU column
+    (slope form holds whenever the mirror cache is active)."""
+    from nanokappa_tpu.sim.scatter import slope_pair
+    from nanokappa_tpu.sim.state import C_MODE, _bc_i32
 
     from nanokappa_tpu.sim.boundary_tables import combined_mirror_rows
 
@@ -200,24 +217,20 @@ def _mirror_rows(btab, mat, rows, T_sv, geo, params, sv=None):
     corr_c = jnp.clip(corr, 0, M - 1)
     if sv is None:
         sv = subvol_id(geo, rows[:, C_POS])
-    if params.temp_interp == "nearest":
-        tau_m = lifetime_by_sv(mat, T_sv, sv, corr_c)
-    else:
-        T_p = interp_T_particles(
-            geo, T_sv, rows[:, C_POS], sv, params.temp_interp
-        )
-        tau_m = lifetime_lookup(mat, T_p, corr_c)
-    E = rows.shape[0]
-    return jnp.concatenate(
+    tau_a, tau_b = slope_pair(mat, T_sv, sv, jnp.clip(mode, 0, M - 1))
+    m_a, m_b = slope_pair(mat, T_sv, sv, corr_c)
+    mrows = jnp.concatenate(
         [
             _bc_f32(corr)[:, None],
             jnp.where(has, sc[:, 2], 0.0)[:, None],
             jnp.where(has[:, None], sc[:, 3:6], 0.0),
-            jnp.where(has, tau_m, 0.0)[:, None],
-            jnp.zeros((E, M_COLS - 6), jnp.float32),
+            jnp.where(has, m_a, 0.0)[:, None],  # X_TAU = a_mirror
+            tau_b[:, None],  # X_TAUB = b_main
+            jnp.where(has, m_b, 0.0)[:, None],  # X_MTAUB = b_mirror
         ],
         axis=1,
     )
+    return mrows, tau_a
 
 
 def make_step_v2(
@@ -234,6 +247,14 @@ def make_step_v2(
 
     interpret = jax.default_backend() == "cpu" or FORCE_INTERPRET
     use_mirror = mirror_eligible(geo, btab, params, mat)
+    # slope-form lifetime clamp range (one host sync at build time)
+    import numpy as _np
+
+    tau_bounds = (
+        (float(_np.asarray(mat.tau_T[0])), float(_np.asarray(mat.tau_T[-1])))
+        if use_mirror
+        else None
+    )
 
     if axis_name is None:
         psum = lambda x: x  # noqa: E731
@@ -301,10 +322,12 @@ def make_step_v2(
         # burst margin; overflow freezes lanes for one step (counted, and the
         # driver warns on sustained storms)
         # with the in-kernel specular path, the buffer only carries
-        # multi-bounce chains and no-correspondence diffuse lanes (measured
-        # ~0.01% of N on the film config vs 1.2% of reflections)
+        # 3+-bounce chains and no-correspondence diffuse lanes (measured
+        # ~0.01% of N on the film config vs 1.2% of reflections), and rows
+        # pack TIGHTLY (no per-block alignment waste), so ~20x steady-state
+        # margin fits in N/512
         evt_default = (
-            max(1024, N // 256) if use_mirror
+            max(1024, N // 512) if use_mirror
             else max(params.inj_cap, N // 64)
         )
         EVT_CAP = -(-(params.evt_cap or evt_default) // 128) * 128
@@ -324,9 +347,11 @@ def make_step_v2(
             tail = state.free_count[0]
             valid_inj = jnp.arange(cap, dtype=jnp.int32) < n_valid
             if use_mirror:
-                mrows_inj = _mirror_rows(
+                mrows_inj, tau_a_inj = _mirror_rows(
                     btab, mat, inj_rows, state.T_sv, geo, params,
                 )
+                # slope form: C_TAU carries the intercept (X_TAUB the slope)
+                inj_rows = inj_rows.at[:, C_TAU].set(tau_a_inj)
                 mirror3, _ = _append_window(
                     mirror3, mrows_inj.T, valid_inj, tail
                 )
@@ -349,40 +374,42 @@ def make_step_v2(
             mirror3=mirror3 if use_mirror else None,
             ecap=EVT_CAP, interpret=interpret, vma=vary,
             export_rows=use_mirror,
+            tau_bounds=tau_bounds if use_mirror else None,
         )
         if not use_mirror:
             mirror3_d = mirror3
         frozen_k = jnp.sum(ecnt - ecnt_c)
 
-        # Buffer-lane validity from the per-block segment extents: lanes
-        # beyond the LAST block's DMA window are UNINITIALISED device memory
-        # (each block sentinel-fills only its own window; when few events
-        # occur, coverage [0, starts[-1] + BN) can stop short of EVT_CAP and
-        # the tail garbage can alias real pool indices — duplicating alive
-        # rows through the append path). The per-block valid intervals
-        # [start, start + kept) are disjoint and never overwritten (the next
-        # start is 128-aligned past the previous interval), so validity is
-        # membership in ANY interval — one (EVT_CAP, nb) compare matrix, no
-        # gathers (jnp.searchsorted here lowered to a scalar binary-search
-        # while loop: 1.0 ms/step at EVT_CAP=19.5k).
-        lane_b = jnp.arange(EVT_CAP, dtype=jnp.int32)[:, None]
-        seg_valid = jnp.any(
-            (lane_b >= starts_c[None, :])
-            & (lane_b < (starts_c + ecnt_c)[None, :]),
-            axis=1,
-        )
-
         # 3. event machinery on the exported/gathered rows (reflections,
         # deep chains). On the mirror path the kernel exports the ROWS
-        # themselves (ops/megastep.py step 5.9) — no full-pool
-        # layout-conversion copy, no row gather (0.25 + 0.15 ms/step at
-        # N=1.25e6 in the round-3 trace). The index path remains for
-        # mirror-off configs, whose event rate makes in-kernel scalar
-        # extraction slower than the XLA gather.
+        # themselves, TIGHTLY packed (ops/megastep.py step 5.9) — no
+        # full-pool layout-conversion copy, no row gather (0.25 + 0.15
+        # ms/step at N=1.25e6 in the round-3 trace), and validity is one
+        # prefix extent. The index path remains for mirror-off configs,
+        # whose event rate makes in-kernel scalar extraction slower than
+        # the XLA gather.
         if use_mirror:
-            vbuf = seg_valid
+            vbuf = jnp.arange(EVT_CAP, dtype=jnp.int32) < jnp.sum(ecnt_c)
             rows = evt_buf[:, :EVT_CAP].T  # (EVT_CAP, 16)
         else:
+            # Buffer-lane validity from the per-block segment extents: lanes
+            # beyond the LAST block's DMA window are UNINITIALISED device
+            # memory (each block sentinel-fills only its own window; when
+            # few events occur, coverage [0, starts[-1] + BN) can stop short
+            # of EVT_CAP and the tail garbage can alias real pool indices —
+            # duplicating alive rows through the append path). The per-block
+            # valid intervals [start, start + kept) are disjoint and never
+            # overwritten (the next start is 128-aligned past the previous
+            # interval), so validity is membership in ANY interval — one
+            # (EVT_CAP, nb) compare matrix, no gathers (jnp.searchsorted
+            # here lowered to a scalar binary-search while loop: 1.0 ms/step
+            # at EVT_CAP=19.5k).
+            lane_b = jnp.arange(EVT_CAP, dtype=jnp.int32)[:, None]
+            seg_valid = jnp.any(
+                (lane_b >= starts_c[None, :])
+                & (lane_b < (starts_c + ecnt_c)[None, :]),
+                axis=1,
+            )
             evt_idx = evt_buf[:EVT_CAP]
             vbuf = (evt_idx < N) & seg_valid
             idx_c = jnp.minimum(evt_idx, N - 1)
@@ -424,8 +451,13 @@ def make_step_v2(
         # (~0.17 ms/step at N=1.25e6)
         rows_out = rows_out.at[:, C_SV].set(_bc_f32(sv_e))
         if use_mirror:
-            mrows_out = _mirror_rows(
+            mrows_out, tau_a_e = _mirror_rows(
                 btab, mat, rows_out, state.T_sv, geo, params, sv=sv_e,
+            )
+            # slope form: replace the narrow machinery's full-tau values
+            # with the intercepts of the lanes' (possibly new) modes
+            rows_out = rows_out.at[:, C_TAU].set(
+                jnp.where(alive_e, tau_a_e, rows_out[:, C_TAU])
             )
             mirror3_d, _ = _append_window(
                 mirror3_d, mrows_out.T, alive_e, tail
@@ -533,12 +565,15 @@ def refresh_tau_T(
     """3-D-pool variant of sim/step.py refresh_tau (drift-gated lifetime
     refresh). Runs inside maybe_refresh_tau's cond branch, so the flat-view
     layout conversions here cost nothing on the converged plateau. With
-    `use_mirror` the cached mirror-mode lifetime refreshes on the same
-    cadence (X_TAU column)."""
+    `use_mirror` the refresh rebuilds the SLOPE-FORM pairs (a, b) of both
+    the main and mirror modes for the subvolumes' CURRENT T-grid bins
+    (slope_tau_active semantics — the trigger is a bin crossing)."""
     from nanokappa_tpu.sim.binning import interp_T_particles, subvol_id
-    from nanokappa_tpu.sim.scatter import lifetime_by_sv, lifetime_lookup
+    from nanokappa_tpu.sim.scatter import (
+        lifetime_by_sv, lifetime_lookup, slope_pair,
+    )
     from nanokappa_tpu.sim.state import (
-        C_ALIVE, C_MODE, C_TAU, X_MODE, X_TAU, _bc_i32,
+        C_ALIVE, C_MODE, C_TAU, X_MODE, X_MTAUB, X_TAU, X_TAUB, _bc_i32,
     )
 
     C, NR, L = stateT.packed.shape
@@ -547,8 +582,25 @@ def refresh_tau_T(
     mode = _bc_i32(pT[C_MODE])
     alive = pT[C_ALIVE] > 0.5
     sv = subvol_id(geo, pos)
+    if use_mirror:
+        # slope form: refresh (a, b) of main + mirror modes
+        M = mat.tau.shape[1]
+        mT = stateT.mirror.reshape(8, NR * L)
+        m_mode = _bc_i32(mT[X_MODE])
+        has = alive & (m_mode >= 0)
+        m_c = jnp.clip(m_mode, 0, M - 1)
+        a, b = slope_pair(mat, stateT.T_sv, sv, jnp.clip(mode, 0, M - 1))
+        a_m, b_m = slope_pair(mat, stateT.T_sv, sv, m_c)
+        packed = pT.at[C_TAU].set(jnp.where(alive, a, pT[C_TAU]))
+        mT = mT.at[X_TAU].set(jnp.where(has, a_m, mT[X_TAU]))
+        mT = mT.at[X_TAUB].set(jnp.where(alive, b, mT[X_TAUB]))
+        mT = mT.at[X_MTAUB].set(jnp.where(has, b_m, mT[X_MTAUB]))
+        return dataclasses.replace(
+            stateT,
+            packed=packed.reshape(16, NR, L),
+            mirror=mT.reshape(8, NR, L),
+        )
     if params.temp_interp == "nearest":
-        T_p = None
         tau = lifetime_by_sv(mat, stateT.T_sv, sv, mode)
     else:
         T_p = interp_T_particles(
@@ -556,31 +608,25 @@ def refresh_tau_T(
         )
         tau = lifetime_lookup(mat, T_p, mode)
     packed = pT.at[C_TAU].set(jnp.where(alive, tau, pT[C_TAU]))
-    out = dataclasses.replace(
+    return dataclasses.replace(
         stateT, packed=packed.reshape(16, NR, L)
     )
-    if use_mirror:
-        mT = stateT.mirror.reshape(8, NR * L)
-        m_mode = _bc_i32(mT[X_MODE])
-        has = alive & (m_mode >= 0)
-        M = mat.tau.shape[1]
-        m_c = jnp.clip(m_mode, 0, M - 1)
-        if params.temp_interp == "nearest":
-            tau_m = lifetime_by_sv(mat, stateT.T_sv, sv, m_c)
-        else:
-            tau_m = lifetime_lookup(mat, T_p, m_c)
-        mT = mT.at[X_TAU].set(jnp.where(has, tau_m, mT[X_TAU]))
-        out = dataclasses.replace(out, mirror=mT.reshape(8, NR, L))
-    return out
 
 
-def make_finalize(geo, mat, params):
+def make_finalize(geo, mat, params, btab=None):
     """Apply the PENDING deferred RTA so written particle data matches the
     reference's end-of-step state exactly (the running state itself must stay
-    un-finalised — the next drift kernel applies it there)."""
+    un-finalised — the next drift kernel applies it there). Pass `btab` so
+    the slope-form lifetime representation (slope_tau_active) is evaluated
+    correctly; without it C_TAU is assumed to hold plain lifetimes."""
     from nanokappa_tpu.sim.binning import interp_T_particles
     from nanokappa_tpu.sim.scatter import rta_scatter
-    from nanokappa_tpu.sim.state import STALE, with_cols
+    from nanokappa_tpu.sim.state import STALE, X_TAUB, with_cols
+
+    slope = btab is not None and slope_tau_active(geo, btab, params, mat)
+    if slope:
+        t_lo = float(mat.tau_T[0])
+        t_hi = float(mat.tau_T[-1])
 
     @jax.jit
     def finalize(state: SimState) -> SimState:
@@ -589,9 +635,12 @@ def make_finalize(geo, mat, params):
             geo, state.T_sv, state.pos, sv, params.temp_interp
         )
         ok = state.alive & (state.coll_facet != STALE) & (state.step > 0)
+        tau = state.tau
+        if slope:
+            tau = tau + state.mirror[:, X_TAUB] * jnp.clip(T_p, t_lo, t_hi)
         dev = rta_scatter(
             mat, state.dev, state.mode, state.omega, T_p, ok,
-            params.dt, params.t_reference, tau=state.tau,
+            params.dt, params.t_reference, tau=tau,
         )
         return with_cols(state, dev=dev)
 

@@ -54,6 +54,35 @@ def lifetime_by_sv(
     return tau_sv.reshape(-1)[sv_c * M + mode]
 
 
+def slope_pair(
+    mat: MaterialTables, T_sv: jax.Array, sv: jax.Array, mode: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """(a, b) of the piecewise-linear lifetime tau(T) = a + b*T on the
+    T-grid bin containing each particle's SUBVOLUME temperature.
+
+    Within that bin, a + b*T is EXACTLY lifetime_lookup's lerp (the same
+    tau_pair row, rearranged to intercept/slope), so a per-particle cached
+    (a, b) keeps tau continuously exact as T_sv drifts — the full-pool tau
+    refresh then only needs to run when a subvolume temperature crosses a
+    grid-bin boundary (e.g. every 10 K for phono3py-style tables) instead
+    of every 0.05 K of drift. Evaluation clamps T to the table range, which
+    reproduces lifetime_lookup's w-clip at both table edges."""
+    nT = mat.tau_T.shape[0]
+    i_sv = jnp.clip(
+        jnp.searchsorted(mat.tau_T, T_sv) - 1, 0, max(nT - 2, 0)
+    )  # (SV,)
+    sv_c = jnp.clip(sv, 0, T_sv.shape[0] - 1)
+    i = i_sv[sv_c]  # per lane (tiny-table gather)
+    T_lo = mat.tau_T[i]
+    T_hi = mat.tau_T[jnp.minimum(i + 1, nT - 1)]
+    M = mat.tau.shape[1]
+    pair = mat.tau_pair.reshape(-1, 2)[i * M + mode]  # (E,2) row gather
+    dT = T_hi - T_lo
+    b = jnp.where(dT > 0, (pair[:, 1] - pair[:, 0]) / jnp.maximum(dT, 1e-30), 0.0)
+    a = pair[:, 0] - b * T_lo
+    return a, b
+
+
 def rta_scatter(
     mat: MaterialTables,
     dev: jax.Array,

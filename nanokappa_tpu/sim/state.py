@@ -97,8 +97,13 @@ N_COLS = 16
 X_MODE = 0  # correspondence mode (i32 bitcast); -1 = none -> export
 X_OMEGA = 1
 X_VEL = slice(2, 5)
-X_TAU = 5  # tau(T_local, mirror mode) — refreshed with C_TAU
-M_COLS = 8  # padded to the f32 sublane tile
+X_TAU = 5  # mirror-mode lifetime. SLOPE-FORM when the v2 mirror fast path
+#   is active (sim/fused.py slope_tau_active): the mirror mode's intercept
+#   a_m of tau(T) = a + b*T on the current T-grid bin (C_TAU then holds the
+#   MAIN mode's intercept a); plain tau(T_local, mirror mode) otherwise
+X_TAUB = 6  # main mode's slope b (slope form only; 0 otherwise)
+X_MTAUB = 7  # mirror mode's slope b_m (slope form only; 0 otherwise)
+M_COLS = 8  # the f32 sublane tile
 
 
 def _bc_f32(a: jax.Array) -> jax.Array:
@@ -420,9 +425,12 @@ def init_state(
     # omega/velocity/lifetime; unfilled (-1) when no boundary tables given
     mirror = np.zeros((n_cap, M_COLS), dtype=np.float32)
     mirror[:, X_MODE] = np.full(n_cap, -1, np.int32).view(np.float32)
+    use_slope = False
     if btab is not None and int(btab.n_rough) > 0:
         from nanokappa_tpu.sim.boundary_tables import combined_mirror_rows
+        from nanokappa_tpu.sim.fused import slope_tau_active
 
+        use_slope = slope_tau_active(geo, btab, params, mat)
         sc = combined_mirror_rows(btab, mat)  # (M,8) [p,corr,omega,v,..]
         if sc is None:
             sc = np.zeros((M, 8), np.float32)
@@ -435,7 +443,26 @@ def init_state(
         mm[:, X_MODE] = cm.astype(np.int32).view(np.float32)
         mm[:, X_OMEGA] = np.where(has, sc[modes, 2], 0.0)
         mm[:, X_VEL] = np.where(has[:, None], sc[modes, 3:6], 0.0)
-        mm[:, X_TAU] = np.where(has, tau_m, 0.0)
+        if use_slope:
+            # slope-form lifetimes (see X_TAU/X_TAUB docs + fused.py):
+            # tau(T) = a + b*T, exactly the table lerp on the particle's
+            # current T-grid bin
+            dTb = np.maximum(mat.tau_T[ti + 1] - mat.tau_T[ti], 1e-30)
+            ok = mat.tau_T[ti + 1] > mat.tau_T[ti]
+            b_main = np.where(
+                ok, (tau_flat[ti + 1, modes] - tau_flat[ti, modes]) / dTb, 0.0
+            )
+            a_main = tau_flat[ti, modes] - b_main * mat.tau_T[ti]
+            b_mir = np.where(
+                ok, (tau_flat[ti + 1, cmc] - tau_flat[ti, cmc]) / dTb, 0.0
+            )
+            a_mir = tau_flat[ti, cmc] - b_mir * mat.tau_T[ti]
+            tau_p = a_main  # C_TAU holds the intercept in slope form
+            mm[:, X_TAU] = np.where(has, a_mir, 0.0).astype(np.float32)
+            mm[:, X_TAUB] = b_main.astype(np.float32)
+            mm[:, X_MTAUB] = np.where(has, b_mir, 0.0).astype(np.float32)
+        else:
+            mm[:, X_TAU] = np.where(has, tau_m, 0.0)
         mirror[slots] = mm
 
     packed = np.zeros((n_cap, N_COLS), dtype=np.float32)

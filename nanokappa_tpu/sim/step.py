@@ -315,6 +315,7 @@ def make_v2_block_runner(
         stateT = maybe_refresh_tau(
             stateT, geo, mat, params,
             fn=_partial(refresh_tau_T, use_mirror=use_mirror),
+            slope=use_mirror,
         )
         if n_sub == 1:
             stateT, last = sub(stateT)
@@ -337,18 +338,25 @@ def make_v2_block_runner(
     return run_blocks
 
 
-def maybe_refresh_tau(state: SimState, geo, mat, params, fn=None) -> SimState:
-    """Run the full-width lifetime refresh `fn` ONLY when some subvolume
-    temperature drifted more than params.tau_dT since the last refresh.
+def maybe_refresh_tau(
+    state: SimState, geo, mat, params, fn=None, slope: bool = False
+) -> SimState:
+    """Run the full-width lifetime refresh `fn` ONLY when needed.
 
     The refresh is one random gather per particle from the (SV, M) lifetime
     table — the single most expensive XLA op per outer block (~9 ms at
-    N=1.25e6, TPU scalar gathers run ~1.4e8/s). Gating it on measured drift
-    makes the converged plateau free while keeping tau staleness explicitly
-    bounded: |T - T_at_refresh| <= tau_dT (default 0.05 K, a <0.1% lifetime
-    error against the reference's every-step interpolator,
-    classes/Phonon.py:326-336). No collectives run inside the branch, so
-    per-replica divergence under shard_map is safe."""
+    N=1.25e6, TPU scalar gathers run ~1.4e8/s).
+
+    Plain (cached-tau) form: trigger when some subvolume temperature
+    drifted more than params.tau_dT since the last refresh (default 0.05 K,
+    a <0.1% lifetime error against the reference's every-step interpolator,
+    classes/Phonon.py:326-336).
+
+    Slope form (`slope=True`, the v2 mirror path): tau(T) = a + b*T is
+    continuously exact within a T-grid bin, so the trigger is a subvolume
+    temperature CROSSING a bin boundary — effectively never on a converging
+    film (phono3py grids are ~10 K wide). No collectives run inside the
+    branch, so per-replica divergence under shard_map is safe."""
     import dataclasses
 
     if fn is None:
@@ -358,7 +366,17 @@ def maybe_refresh_tau(state: SimState, geo, mat, params, fn=None) -> SimState:
         s = fn(s, geo, mat, params)
         return dataclasses.replace(s, T_tau=s.T_sv)
 
-    pred = jnp.any(jnp.abs(state.T_sv - state.T_tau) > params.tau_dT)
+    if slope:
+        nT = mat.tau_T.shape[0]
+
+        def tbin(T):
+            return jnp.clip(
+                jnp.searchsorted(mat.tau_T, T) - 1, 0, max(nT - 2, 0)
+            )
+
+        pred = jnp.any(tbin(state.T_sv) != tbin(state.T_tau))
+    else:
+        pred = jnp.any(jnp.abs(state.T_sv - state.T_tau) > params.tau_dT)
     return jax.lax.cond(pred, do, lambda s: s, state)
 
 
