@@ -65,22 +65,26 @@ def run_config(n_particles: float, mesh_pts: int, res_gen: str):
     state = init_state(
         mat, dom, geo, params, n_p, temp_dist="linear", btab=btab
     )
-    run = build_step(geo, mat.device_tables(), btab, rtab, params, n_inner=20)
+    # the driver's real dispatch pattern (driver.py run): one host sync per
+    # 100 simulated steps (10 batched convergence datapoints of 10 steps)
+    run = build_step(
+        geo, mat.device_tables(), btab, rtab, params, n_inner=10, n_outer=10
+    )
 
     # warm up: compile + reach steady boundary-event mix
     state, out = run(state)
     state, out = run(state)
     jax.block_until_ready(state.pos)
 
-    n_outer = 5  # 100 timesteps
+    n_runs = 3  # 300 timesteps
     t0 = time.perf_counter()
-    for _ in range(n_outer):
+    for _ in range(n_runs):
         state, out = run(state)
     jax.block_until_ready(state.pos)
     elapsed = time.perf_counter() - t0
 
-    n_alive = int(np.asarray(out.N_p))
-    return n_outer * 20 * n_alive / elapsed, mat.n_modes
+    n_alive = int(np.asarray(jax.tree.map(lambda x: x[-1], out).N_p))
+    return n_runs * 100 * n_alive / elapsed, mat.n_modes
 
 
 def main():

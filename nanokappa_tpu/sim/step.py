@@ -285,9 +285,11 @@ def make_v2_block_runner(
     # sized so the appends cannot outrun ~N/5 of slack (the driver sizes
     # the pool with >= 25% margin, sim/state.py round_pool_cap callers).
     N_shard = params.n_cap // max(1, params.n_shards)
-    evt_eff = -(-(
-        params.evt_cap or max(params.inj_cap, N_shard // 64)
-    ) // 128) * 128
+    evt_default = (
+        max(1024, N_shard // 512) if use_mirror
+        else max(params.inj_cap, N_shard // 64)
+    )  # must track sim/fused.py's evt_default
+    evt_eff = -(-(params.evt_cap or evt_default) // 128) * 128
     per_step = evt_eff + params.inj_cap
     m = max(1, min(n_inner, (N_shard // 5) // max(1, per_step)))
     while n_inner % m:  # largest divisor of n_inner <= the safe bound
