@@ -442,7 +442,11 @@ def _event_round(
 ) -> _Buf:
     dt = params.dt
     key = jax.random.fold_in(b.key, b.round)
-    k_spec, k_diff1, k_diff2, k_deg = jax.random.split(key, 4)
+    # ONE uniform tensor serves specularity, alias slot, alias accept and
+    # the degenerate-split draw: each jax.random call is its own threefry
+    # op + launch gap, and the narrow stage is op-count bound. The alias
+    # slot uses floor(u * M) (2^-24 modulo bias, far below MC noise).
+    u4 = jax.random.uniform(key, (b.pos.shape[0], 4))
 
     # particles in the buffer sit exactly on facet coll_facet with
     # remaining > 0 (t_coll == 0); dead/finished lanes are masked out
@@ -502,7 +506,7 @@ def _event_round(
     sc = btab.spec_corr[row, b.mode]  # (E,8)
     p_spec = sc[:, 0]
     corr_m = i32b(sc[:, 1])
-    u_spec = jax.random.uniform(k_spec, p_spec.shape)
+    u_spec = u4[:, 0]
     spec = ref & (u_spec <= p_spec) & (corr_m >= 0)
     diff = ref & ~spec
 
@@ -512,8 +516,8 @@ def _event_round(
     # cached properties ride the same row (_diff_ext), so no follow-up
     # omega_vel gather is needed on the velocity model
     M = btab.diffuse_prob.shape[1]
-    j = jax.random.randint(k_diff1, p_spec.shape, 0, M)
-    u = jax.random.uniform(k_diff2, p_spec.shape)
+    j = jnp.minimum((u4[:, 1] * M).astype(jnp.int32), M - 1)
+    u = u4[:, 2]
     pa = btab.diff_pa[row, j]  # (E,10)
     accept = u < pa[:, 0]
     mode_diff = jnp.where(accept, j, i32b(pa[:, 1]))
@@ -522,7 +526,7 @@ def _event_round(
     changed = spec | diff
     if params.scat_model in ("k", "wavevector", "wave_vector"):
         partner = btab.degen_partner[mode_spec]
-        u_deg = jax.random.uniform(k_deg, partner.shape)
+        u_deg = u4[:, 3]
         swap = spec & (partner >= 0) & (u_deg >= 0.5)
         mode_spec = jnp.where(swap, partner, mode_spec)
         mode = jnp.where(spec, mode_spec, jnp.where(diff, mode_diff, b.mode))

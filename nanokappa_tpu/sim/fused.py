@@ -203,7 +203,6 @@ def _mirror_rows(btab, mat, rows, T_sv, geo, params, sv=None):
     Returns (mrows (E, M_COLS), tau_a (E,)): the mirror rows and the main
     mode's intercept, which the caller writes into the rows' C_TAU column
     (slope form holds whenever the mirror cache is active)."""
-    from nanokappa_tpu.sim.scatter import slope_pair
     from nanokappa_tpu.sim.state import C_MODE, _bc_i32
 
     from nanokappa_tpu.sim.boundary_tables import combined_mirror_rows
@@ -217,8 +216,24 @@ def _mirror_rows(btab, mat, rows, T_sv, geo, params, sv=None):
     corr_c = jnp.clip(corr, 0, M - 1)
     if sv is None:
         sv = subvol_id(geo, rows[:, C_POS])
-    tau_a, tau_b = slope_pair(mat, T_sv, sv, jnp.clip(mode, 0, M - 1))
-    m_a, m_b = slope_pair(mat, T_sv, sv, corr_c)
+    # both slope pairs share one set of per-lane bin metadata (i, T_lo,
+    # T_hi) — sim/scatter.py slope_pair semantics, inlined to halve the
+    # op count of this op-launch-bound stage
+    nT = mat.tau_T.shape[0]
+    i_sv = jnp.clip(
+        jnp.searchsorted(mat.tau_T, T_sv) - 1, 0, max(nT - 2, 0)
+    )
+    i = i_sv[jnp.clip(sv, 0, T_sv.shape[0] - 1)]
+    T_lo = mat.tau_T[i]
+    dT = mat.tau_T[jnp.minimum(i + 1, nT - 1)] - T_lo
+    inv = jnp.where(dT > 0, 1.0 / jnp.maximum(dT, 1e-30), 0.0)
+    tp2 = mat.tau_pair.reshape(-1, 2)
+    pair = tp2[i * M + jnp.clip(mode, 0, M - 1)]
+    pair_m = tp2[i * M + corr_c]
+    tau_b = (pair[:, 1] - pair[:, 0]) * inv
+    tau_a = pair[:, 0] - tau_b * T_lo
+    m_b = (pair_m[:, 1] - pair_m[:, 0]) * inv
+    m_a = pair_m[:, 0] - m_b * T_lo
     mrows = jnp.concatenate(
         [
             _bc_f32(corr)[:, None],

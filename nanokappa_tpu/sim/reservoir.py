@@ -251,17 +251,24 @@ def sample_injections(
         inj_res = jnp.minimum(inj_res, R - 1)
         inj_valid = lane < jnp.minimum(boundaries[-1], cap)
         M_tab = rtab.enter_alias.shape[1]
-        jdraw = jax.random.randint(k_counts, (cap,), 0, M_tab)
-        u = jax.random.uniform(k_oto, (cap,))
+        # ONE uniform tensor serves every stochastic choice of this path
+        # (alias slot, alias accept, arrival time, and the two facet-surface
+        # coordinates): each jax.random call is its own ~15 us threefry op
+        # plus an op-launch gap, and the step is op-count bound. The alias
+        # slot uses floor(u * M) instead of randint's modulo-free bits —
+        # the 2^-24 modulo bias is orders below Monte Carlo noise.
+        u5 = jax.random.uniform(k_counts, (cap, 5))
+        jdraw = jnp.minimum(
+            (u5[:, 0] * M_tab).astype(jnp.int32), M_tab - 1
+        )
         pa = rtab.enter_alias[inj_res, jdraw]  # (cap,2): one row gather
-        accept = u < pa[:, 0]
+        accept = u5[:, 1] < pa[:, 0]
         inj_mode = jnp.where(
             accept, jdraw,
             jax.lax.bitcast_convert_type(pa[:, 1], jnp.int32),
         ).astype(jnp.int32)
-        inj_dtin = (params.dt * jax.random.uniform(k_dtin, (cap,))).astype(
-            jnp.float32
-        )
+        inj_dtin = (params.dt * u5[:, 2]).astype(jnp.float32)
+        inj_upos = u5[:, 3:5]  # consumed by the box rectangle sampler below
         n_valid = inj_valid.sum(dtype=jnp.int32)
         dropped_inj = jnp.maximum(boundaries[-1] - n_valid, 0)
 
@@ -317,7 +324,10 @@ def sample_injections(
         # box fast path: walls are rectangles — origin + u1*s1 + u2*s2 from
         # one (R,9) tiny-table row gather (same uniform-on-facet law as the
         # triangle-CDF sampler below)
-        u2 = jax.random.uniform(k_pos1, (cap, 2))
+        if params.res_gen == "pooled":
+            u2 = inj_upos  # from the pooled path's single uniform tensor
+        else:
+            u2 = jax.random.uniform(k_pos1, (cap, 2))
         rect = geo.res_rect[inj_res]  # (cap,9)
         inj_pos = (
             rect[:, 0:3]

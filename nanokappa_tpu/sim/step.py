@@ -230,7 +230,10 @@ def build_step(geo, mat, btab, rtab, params, n_inner: int = 1, n_outer: int = 1)
         run_blocks = make_v2_block_runner(
             geo, mat, btab, params, step, n_inner, n_outer
         )
-        return jax.jit(run_blocks)
+        # donate the carried state: without donation XLA must preserve the
+        # 126 MB input pool across the call (an extra copy + 2x the pool's
+        # HBM footprint per run)
+        return jax.jit(run_blocks, donate_argnums=0)
 
     def block(state: SimState, _=None):
         state = maybe_refresh_tau(state, geo, mat, params)
