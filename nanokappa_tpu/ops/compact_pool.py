@@ -48,6 +48,7 @@ from nanokappa_tpu.sim.state import C_ALIVE
 
 
 def _kernel(starts_ref, in_ref, *rest, cfg):
+    C = cfg["C"]
     if cfg["use_mirror"]:
         mir_ref, out_hbm, mout_hbm, scratch, mscratch, sem = rest
     else:
@@ -55,11 +56,14 @@ def _kernel(starts_ref, in_ref, *rest, cfg):
         out_hbm, scratch, sem = rest
     b = pl.program_id(0)
     # per-attribute 2-D loads: indexing the leading (untiled) dim of the
-    # (16, 8, L) block yields dense (8, L) values
-    vals = [in_ref[c] for c in range(16)]  # 16 x (8, L)
+    # (C, 8, L) block yields dense (8, L) values. C = 24 carries the
+    # specular-mirror cache as rows 16..23 of the SAME array (combined
+    # layout) — one DMA stream keeps both halves lane-aligned by
+    # construction.
+    vals = [in_ref[c] for c in range(C)]  # C x (8, L)
     if cfg["use_mirror"]:
-        # the specular-mirror side pool compacts through the SAME delta
-        # network so its rows stay lane-aligned with the particle pool
+        # separate-array form: the mirror side pool compacts through the
+        # SAME delta network so its rows stay lane-aligned
         vals += [mir_ref[c] for c in range(8)]
     alive = vals[C_ALIVE] > 0.5
 
@@ -83,8 +87,8 @@ def _kernel(starts_ref, in_ref, *rest, cfg):
     lane_flat = jax.lax.broadcasted_iota(jnp.int32, (1, BN), 1)
     keep = lane_flat < count
     rows = jnp.concatenate(
-        [jnp.where(keep, _unflat8(v), 0.0) for v in vals[:16]], axis=0
-    )  # (16, BN)
+        [jnp.where(keep, _unflat8(v), 0.0) for v in vals[:C]], axis=0
+    )  # (C, BN)
     scratch[:, :] = rows
     off = starts_ref[b]
     cp = pltpu.make_async_copy(
@@ -94,7 +98,7 @@ def _kernel(starts_ref, in_ref, *rest, cfg):
     cp.wait()
     if cfg["use_mirror"]:
         mrows = jnp.concatenate(
-            [jnp.where(keep, _unflat8(v), 0.0) for v in vals[16:24]],
+            [jnp.where(keep, _unflat8(v), 0.0) for v in vals[C:C + 8]],
             axis=0,
         )  # (8, BN)
         mscratch[:, :] = mrows
@@ -122,9 +126,11 @@ def compact_pool(
     C, NR, L = pool3.shape
     N = NR * L
     bn = tile_width(N)
-    assert C == 16 and bn is not None and bn // 8 == L, (C, NR, L)
+    assert C in (16, 24) and bn is not None and bn // 8 == L, (C, NR, L)
     nb = N // bn
     use_mirror = mirror3 is not None
+    # a 24-row pool already carries the mirror inside itself
+    assert not (use_mirror and C == 24)
 
     alive_row = pool3[C_ALIVE] > 0.5  # (NR, L)
     acnt = jnp.sum(
@@ -138,12 +144,12 @@ def compact_pool(
 
     in_specs = [
         pl.BlockSpec(
-            (16, 8, L), lambda b, *_: (0, b, 0), memory_space=pltpu.VMEM
+            (C, 8, L), lambda b, *_: (0, b, 0), memory_space=pltpu.VMEM
         ),
     ]
     out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
-    out_shape = [jax.ShapeDtypeStruct((16, N), jnp.float32)]
-    scratch = [pltpu.VMEM((16, bn), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((C, N), jnp.float32)]
+    scratch = [pltpu.VMEM((C, bn), jnp.float32)]
     operands = [starts, pool3]
     if use_mirror:
         in_specs.append(
@@ -170,7 +176,7 @@ def compact_pool(
         scratch_shapes=scratch,
     )
     outs = pl.pallas_call(
-        partial(_kernel, cfg={"use_mirror": use_mirror}),
+        partial(_kernel, cfg={"use_mirror": use_mirror, "C": C}),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -186,7 +192,7 @@ def compact_pool(
     lane = jnp.arange(N, dtype=jnp.int32)
     out = out.at[C_ALIVE].set(jnp.where(lane < tail, out[C_ALIVE], 0.0))
     return (
-        out.reshape(16, NR, L),
+        out.reshape(C, NR, L),
         mout.reshape(8, NR, L) if use_mirror else None,
         tail,
     )

@@ -196,21 +196,16 @@ def _box_raycast(pos, vel, exclude, tables, do):
 def _kernel(
     tsv_ref,  # (1, SVP) f32 SMEM subvolume temperatures (padded)
     rta_ref,  # (1, 1) i32 SMEM: apply deferred RTA this step?
-    in_ref,  # (16, 8, BN8) packed tile (a block of the (16, NR, L) pool)
-    *rest,  # [mir_ref,] out_ref, [mout_ref,] evt_hbm, cnt_ref, ledger_ref,
-    #   bins_ref, acc_ref, bacc_ref, evt_s, off_ref, sem — see the
-    #   non-mirror docstring below; mir/mout are (8, 8, BN8) blocks of the
-    #   specular-mirror side pool (sim/state.py X_* columns), present only
-    #   when cfg["use_mirror"]
+    in_ref,  # (C, 8, BN8) packed tile (a block of the (C, NR, L) pool);
+    #   C = 24 on the mirror fast path — the specular-mirror cache rides as
+    #   rows 16..23 of the SAME array (sim/state.py X_* columns + 16), so
+    #   one block spec / one DMA stream / one append window serves both
+    *rest,  # out_ref, evt_hbm, cnt_ref, ledger_ref, bins_ref, acc_ref,
+    #   bacc_ref, [evt_s,] off_ref, sem
     tables: dict,
     cfg: dict,
 ):
-    if cfg["use_mirror"]:
-        (mir_ref, out_ref, mout_ref, evt_hbm, cnt_ref, ledger_ref, bins_ref,
-         *tail_refs) = rest
-    else:
-        mir_ref = mout_ref = None
-        (out_ref, evt_hbm, cnt_ref, ledger_ref, bins_ref, *tail_refs) = rest
+    (out_ref, evt_hbm, cnt_ref, ledger_ref, bins_ref, *tail_refs) = rest
     if cfg["export_rows"]:
         # evt_hbm is the VMEM-resident (16, ecap + 2*w_exp) rows output
         # (revisited block; rows merge in place, no DMA staging needed)
@@ -268,18 +263,19 @@ def _kernel(
     rem_col = in_ref[C_REM]
     alive = (in_ref[C_ALIVE] > 0.5) & in_pool
     if cfg["use_mirror"]:
-        # specular-mirror cache (sim/state.py X_* columns): the cached
-        # correspondence partner's (mode, omega, vel) plus the SLOPE-FORM
-        # lifetime pairs — C_TAU/X_TAU are intercepts, X_TAUB/X_MTAUB the
-        # slopes of tau(T) = a + b*T on the current T-grid bin
-        m_mode_b = mir_ref[0]
-        m_omega = mir_ref[1]
-        m_vx = mir_ref[2]
-        m_vy = mir_ref[3]
-        m_vz = mir_ref[4]
-        m_tau = mir_ref[5]
-        tau_b = mir_ref[6]
-        m_tau_b = mir_ref[7]
+        # specular-mirror cache (rows 16..23 = sim/state.py X_* + 16): the
+        # cached correspondence partner's (mode, omega, vel) plus the
+        # SLOPE-FORM lifetime pairs — C_TAU/X_TAU are intercepts,
+        # X_TAUB/X_MTAUB the slopes of tau(T) = a + b*T on the current
+        # T-grid bin
+        m_mode_b = in_ref[16]
+        m_omega = in_ref[17]
+        m_vx = in_ref[18]
+        m_vy = in_ref[19]
+        m_vz = in_ref[20]
+        m_tau = in_ref[21]
+        tau_b = in_ref[22]
+        m_tau_b = in_ref[23]
         m_mode = i32(m_mode_b)
     # position-derived subvolume id (slice domains are index arithmetic) —
     # identical to the C_SV column the round-3 merge kernel used to refresh,
@@ -605,7 +601,7 @@ def _kernel(
         for c, v in enumerate(
             [m_mode_b, m_omega, m_vx, m_vy, m_vz, m_tau, tau_b, m_tau_b]
         ):
-            mout_ref[c] = v
+            out_ref[16 + c] = v
 
     # ---- 5.9 exported-row extraction (export_rows path) --------------------
     # Pending lanes' 16 columns are read back from the freshly written tile
@@ -621,12 +617,13 @@ def _kernel(
     # bitcast int columns — no roll, no unaligned store).
     if cfg["export_rows"]:
         W = cfg["w_exp"]
+        CC = 24 if cfg["use_mirror"] else 16
         a0 = pl.multiple_of((off // 128) * 128, 128)
         d = off - a0
         lidx = _iota_flat(SH)
-        sub8 = jax.lax.broadcasted_iota(jnp.int32, (16, 8, 128), 1)
-        lane2d = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
-        laneW2 = jax.lax.broadcasted_iota(jnp.int32, (16, 2 * W), 1)
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, (CC, 8, 128), 1)
+        lane2d = jax.lax.broadcasted_iota(jnp.int32, (CC, 128), 1)
+        laneW2 = jax.lax.broadcasted_iota(jnp.int32, (CC, 2 * W), 1)
 
         @pl.when(b == 0)
         def _zero_rows():
@@ -638,17 +635,17 @@ def _kernel(
             l = p - r * BN8
             l0 = pl.multiple_of((l // 128) * 128, 128)
             loff = l - l0
-            v = out_ref[:, :, pl.ds(l0, 128)]  # (16, 8, 128) aligned load
-            v2d = jnp.sum(jnp.where(sub8 == r, v, 0.0), axis=1)  # (16,128)
+            v = out_ref[:, :, pl.ds(l0, 128)]  # (CC, 8, 128) aligned load
+            v2d = jnp.sum(jnp.where(sub8 == r, v, 0.0), axis=1)  # (CC,128)
             col = jnp.sum(
                 jnp.where(lane2d == loff, v2d, 0.0), axis=1, keepdims=True
-            )  # (16,1)
+            )  # (CC,1)
             return jnp.where(laneW2 == d + k, col, acc)
 
         @pl.when(kept > 0)
         def _export():
             acc_rows = jax.lax.fori_loop(
-                0, kept, _extract, jnp.zeros((16, 2 * W), jnp.float32)
+                0, kept, _extract, jnp.zeros((CC, 2 * W), jnp.float32)
             )
             window = rows_ref[:, pl.ds(a0, 2 * W)]
             rows_ref[:, pl.ds(a0, 2 * W)] = jnp.where(
@@ -662,19 +659,18 @@ def _kernel(
 
 
 def drift_megastep(
-    pool3: jax.Array,  # (16, NR, L) f32 pool in the kernel-native 3-D
+    pool3: jax.Array,  # (C, NR, L) f32 pool in the kernel-native 3-D
     #   layout (L = tile_width(N) // 8, NR = N // L): lane p of attribute c
     #   lives at [c, p // L, p % L]. Carrying THIS layout through the whole
     #   scan removes the two per-step (16, N) <-> blocked retile copies
-    #   (0.24 ms/step at N=1.25e6 in the round-3 trace).
+    #   (0.24 ms/step at N=1.25e6 in the round-3 trace). C = 16 plain, or
+    #   24 with the specular-mirror cache as rows 16..23 (sim/state.py X_*
+    #   columns + 16) — the COMBINED layout enables the in-kernel specular
+    #   fast path with one block spec / one append window for both halves
     T_sv: jax.Array,  # (SV,) f32
     rta_on: jax.Array,  # () i32/bool — apply the deferred RTA this step?
     geo,  # DeviceGeometry (host constants are baked in statically)
     params,
-    mirror3: jax.Array | None = None,  # (8, NR, L) specular-mirror side
-    #   pool (sim/state.py X_* columns); enables the in-kernel specular
-    #   fast path (eta = 0 walls, velocity model — sim/fused.py
-    #   mirror_eligible gates it)
     n_real: int | None = None,  # real pool width (< N only for pad lanes)
     ecap: int = 0,  # event-buffer capacity (128-multiple); 0 -> N // 64
     interpret: bool = False,
@@ -686,17 +682,18 @@ def drift_megastep(
     tau_bounds: tuple | None = None,  # (tau_T[0], tau_T[-1]) clamp for the
     #   slope-form lifetime evaluation (mirror path)
 ):
-    """Returns (pool3' (16, NR, L), evt_buf, pend_counts (nb,) i32,
+    """Returns (pool3' (C, NR, L), evt_buf, pend_counts (nb,) i32,
     alive_counts (nb,) i32, starts (nb,) i32, kept (nb,) i32, ledger (8, 5)
     f32, bins (SV8, 5) f32 raw subvolume sums [e, e*vx, e*vy, e*vz, Np] over
-    the lanes that stay in the pool, mirror3' (8, NR, L) or None).
+    the lanes that stay in the pool).
 
     evt_buf: with export_rows=False, (ecap + BN,) i32 ascending event
     indices packed into per-block 128-aligned segments
     [starts[b], starts[b] + kept[b]), sentinel _SENT elsewhere; with
-    export_rows=True, (16, ecap + 2*w_exp) f32 — the pending lanes' packed
-    POOL ROWS, TIGHTLY packed (valid lanes = [0, sum(kept)), zero rows
-    beyond — consumers gate on the kept counts).
+    export_rows=True, (C, ecap + 2*w_exp) f32 — the pending lanes' packed
+    POOL ROWS (incl. mirror rows 16..23 when C = 24), TIGHTLY packed
+    (valid lanes = [0, sum(kept)), zero rows beyond — consumers gate on
+    the kept counts).
 
     Exported lanes are marked DEAD in pool3' — their live copies ride the
     event buffer and re-enter at the pool tail (sim/fused.py append)."""
@@ -706,7 +703,8 @@ def drift_megastep(
     C, NR, L = pool3.shape
     N = NR * L
     bn = tile_width(N)
-    assert C == 16 and bn is not None and bn // 8 == L, (C, NR, L)
+    assert C in (16, 24) and bn is not None and bn // 8 == L, (C, NR, L)
+    use_mirror = C == 24
     bn8 = L
     nb = N // bn
     SV = int(T_sv.shape[0])
@@ -750,12 +748,12 @@ def drift_megastep(
         # in-register, cutting both the event export and the narrow
         # machinery's while-loop rounds (0.36 ms/step at N=1.25e6);
         # without it the extra facet-select pass isn't worth it
-        u_rounds=2 if mirror3 is not None else 1,
+        u_rounds=2 if use_mirror else 1,
         n_reservoirs=int(geo.n_reservoirs),
         hbar=HBAR,
         bn=bn,
         ecap=ecap,
-        use_mirror=mirror3 is not None,
+        use_mirror=use_mirror,
         export_rows=bool(export_rows),
         w_exp=int(w_exp),
         tau_tmin=float(tau_bounds[0]) if tau_bounds else 0.0,
@@ -776,12 +774,8 @@ def drift_megastep(
     cfg["w_exp"] = w_exp
     cfg["export_rows"] = bool(export_rows)
 
-    use_mirror = mirror3 is not None
     pool_spec = pl.BlockSpec(
-        (16, 8, bn8), lambda b: (0, b, 0), memory_space=pltpu.VMEM
-    )
-    mir_spec = pl.BlockSpec(
-        (8, 8, bn8), lambda b: (0, b, 0), memory_space=pltpu.VMEM
+        (C, 8, bn8), lambda b: (0, b, 0), memory_space=pltpu.VMEM
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # T_sv: scalar reads
@@ -789,21 +783,15 @@ def drift_megastep(
         pool_spec,
     ]
     out_specs = [pool_spec]
-    out_shape = [jax.ShapeDtypeStruct((16, NR, L), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((C, NR, L), jnp.float32)]
     aliases = {2: 0}
     operands = [tsv, rta, pool3]
-    if use_mirror:
-        in_specs.append(mir_spec)
-        out_specs.append(mir_spec)
-        out_shape.append(jax.ShapeDtypeStruct((8, NR, L), jnp.float32))
-        aliases[3] = 1
-        operands.append(mirror3)
     out_specs += [
         (
             # rows output: ONE VMEM-resident block revisited by every grid
             # step — rows merge in place, written back once at the end
             pl.BlockSpec(
-                (16, ecap + 2 * w_exp), lambda b: (0, 0),
+                (C, ecap + 2 * w_exp), lambda b: (0, 0),
                 memory_space=pltpu.VMEM,
             )
             if export_rows
@@ -816,7 +804,7 @@ def drift_megastep(
         ),
     ]
     evt_shape = (
-        jax.ShapeDtypeStruct((16, ecap + 2 * w_exp), jnp.float32)
+        jax.ShapeDtypeStruct((C, ecap + 2 * w_exp), jnp.float32)
         if export_rows
         else jax.ShapeDtypeStruct((1, ecap + bn), jnp.int32)
     )
@@ -862,21 +850,16 @@ def drift_megastep(
         input_output_aliases=aliases,
         interpret=interpret,
     )(*operands)
-    if use_mirror:
-        pool_out, mir_out, evt_buf, cnts, ledger, bins = outs
-    else:
-        pool_out, evt_buf, cnts, ledger, bins = outs
-        mir_out = None
+    pool_out, evt_buf, cnts, ledger, bins = outs
     return (
         pool_out,
-        # (16, ecap + w_exp) packed rows (export_rows) or (ecap + bn,)
+        # (C, ecap + 2*w_exp) packed rows (export_rows) or (ecap + bn,)
         # segmented ascending event indices
         evt_buf if export_rows else evt_buf[0],
         cnts[:, 0],  # full pending-event counts
         cnts[:, 1],  # alive counts
-        cnts[:, 2],  # segment starts (128-aligned)
+        cnts[:, 2],  # segment starts
         cnts[:, 3],  # kept counts (post-ECAP clamp)
         ledger[:, :5],
         bins[:, :5],  # raw subvolume sums over non-exported lanes
-        mir_out,
     )

@@ -300,19 +300,29 @@ def make_step_v2(
         # layout (16, NR, L) (see ops/megastep.py drift_megastep); direct
         # make_step callers pass the plain (N, 16) layout — honour both (the
         # orientation is static at trace time)
+        # On the mirror fast path the pool rides COMBINED: (24, NR, L)
+        # with the specular-mirror cache as rows 16..23 — one block spec,
+        # one append window, one compaction stream for both halves.
+        CW = 24 if use_mirror else 16
         plain_layout = state.packed.ndim == 2
         if plain_layout:
             N = state.packed.shape[0]
             L = tile_width(N) // 8
             pool3 = state.packed.T.reshape(16, N // L, L)
-            mirror3 = state.mirror.T.reshape(8, N // L, L)
+            if use_mirror:
+                pool3 = jnp.concatenate(
+                    [pool3, state.mirror.T.reshape(8, N // L, L)], axis=0
+                )
+                mirror3 = None
+            else:
+                mirror3 = state.mirror
         else:
             pool3 = state.packed
-            mirror3 = state.mirror
+            mirror3 = None if use_mirror else state.mirror
         C, NR, L = pool3.shape
         N = NR * L
         BN = tile_width(N)
-        assert C == 16 and BN is not None and BN // 8 == L, (C, NR, L)
+        assert C == CW and BN is not None and BN // 8 == L, (C, NR, L)
         if plain_layout:
             # direct make_step callers never see build_step's per-block
             # defragmentation, and init_state spreads particles across the
@@ -320,12 +330,9 @@ def make_step_v2(
             # dense alive prefix, so compact every step on this compat path
             from nanokappa_tpu.ops.compact_pool import compact_pool
 
-            pool3, mirror3_c, tail0 = compact_pool(
-                pool3, mirror3 if use_mirror else None,
-                interpret=interpret, vma=vary,
+            pool3, _, tail0 = compact_pool(
+                pool3, None, interpret=interpret, vma=vary,
             )
-            if use_mirror:
-                mirror3 = mirror3_c
             state = dataclasses.replace(
                 state, free_count=state.free_count.at[0].set(tail0)
             )
@@ -367,9 +374,8 @@ def make_step_v2(
                 )
                 # slope form: C_TAU carries the intercept (X_TAUB the slope)
                 inj_rows = inj_rows.at[:, C_TAU].set(tau_a_inj)
-                mirror3, _ = _append_window(
-                    mirror3, mrows_inj.T, valid_inj, tail
-                )
+                # combined pool: ONE window appends particle + mirror rows
+                inj_rows = jnp.concatenate([inj_rows, mrows_inj], axis=1)
             pool3, ok = _append_window(pool3, inj_rows.T, valid_inj, tail)
             tail = tail + jnp.where(ok, n_valid, 0)
             lost_inj = dropped + jnp.where(ok, 0, n_valid)
@@ -383,16 +389,13 @@ def make_step_v2(
         # ONE global buffer + subvolume binning of every lane that stays.
         # Exported lanes leave the pool (marked dead) — their results
         # re-enter by appending at the tail below, so NO merge pass exists.
-        (pool3_d, evt_buf, ecnt, _acnt, starts_c, ecnt_c, kledger, kbins,
-         mirror3_d) = drift_megastep(
+        (pool3_d, evt_buf, ecnt, _acnt, starts_c, ecnt_c, kledger,
+         kbins) = drift_megastep(
             pool3, state.T_sv, state.step > 0, geo, params,
-            mirror3=mirror3 if use_mirror else None,
             ecap=EVT_CAP, interpret=interpret, vma=vary,
             export_rows=use_mirror,
             tau_bounds=tau_bounds if use_mirror else None,
         )
-        if not use_mirror:
-            mirror3_d = mirror3
         frozen_k = jnp.sum(ecnt - ecnt_c)
 
         # 3. event machinery on the exported/gathered rows (reflections,
@@ -405,7 +408,9 @@ def make_step_v2(
         # the XLA gather.
         if use_mirror:
             vbuf = jnp.arange(EVT_CAP, dtype=jnp.int32) < jnp.sum(ecnt_c)
-            rows = evt_buf[:, :EVT_CAP].T  # (EVT_CAP, 16)
+            rows = evt_buf[:16, :EVT_CAP].T  # (EVT_CAP, 16); the exported
+            #   mirror rows 16..23 are superseded by the rebuild below
+            #   (event lanes usually change mode in the machinery)
         else:
             # Buffer-lane validity from the per-block segment extents: lanes
             # beyond the LAST block's DMA window are UNINITIALISED device
@@ -429,7 +434,7 @@ def make_step_v2(
             vbuf = (evt_idx < N) & seg_valid
             idx_c = jnp.minimum(evt_idx, N - 1)
             rows = jnp.take(
-                pool3_d.reshape(16, N), idx_c, axis=1, mode="clip"
+                pool3_d.reshape(C, N), idx_c, axis=1, mode="clip"
             ).T
         rows_out, mledger, lost2, frozen2 = run_event_buffer(
             rows, vbuf, geo, mat, btab, params, k_casc, state.T_sv, R8, pvary
@@ -474,9 +479,8 @@ def make_step_v2(
             rows_out = rows_out.at[:, C_TAU].set(
                 jnp.where(alive_e, tau_a_e, rows_out[:, C_TAU])
             )
-            mirror3_d, _ = _append_window(
-                mirror3_d, mrows_out.T, alive_e, tail
-            )
+            # combined pool: ONE window appends particle + mirror rows
+            rows_out = jnp.concatenate([rows_out, mrows_out], axis=1)
         pool3_m, ok_app = _append_window(
             pool3_d, rows_out.T, alive_e, tail
         )
@@ -508,13 +512,20 @@ def make_step_v2(
         T_sv_new = lookup_T_of_E(mat, E_sv)
 
         ledger = psum(kledger[:R8] + mledger)
+        if plain_layout:
+            flat = pool3_m.reshape(C, N)
+            packed_out = flat[:16].T
+            mirror_out = (
+                flat[16:24].T if use_mirror else state.mirror
+            )
+        else:
+            packed_out = pool3_m
+            # combined layout: the mirror cache lives inside packed; the
+            # mirror leaf carries a zero-size placeholder through the scan
+            mirror_out = state.mirror
         new_state = SimState(
-            packed=(
-                pool3_m.reshape(16, N).T if plain_layout else pool3_m
-            ),
-            mirror=(
-                mirror3_d.reshape(8, N).T if plain_layout else mirror3_d
-            ),
+            packed=packed_out,
+            mirror=mirror_out,
             sv_id=state.sv_id,
             T_sv=T_sv_new,
             Np_sv=np_sv,
@@ -548,28 +559,48 @@ def make_step_v2(
     return step
 
 
-def to_transposed(state: SimState) -> SimState:
+def to_transposed(state: SimState, combined: bool = False) -> SimState:
     """Enter the v2 scan convention: state.packed (and the mirror cache) ->
-    the kernel-native 3-D (C, NR, L) layout (lane p of attribute c at
+    the kernel-native 3-D layout (lane p of attribute c at
     [c, p // L, p % L]). One layout-conversion copy per run() boundary
-    instead of two per step."""
+    instead of two per step.
+
+    With `combined` (the mirror fast path) the mirror cache concatenates
+    into the SAME (24, NR, L) array as rows 16..23 — one block spec, one
+    append window, one compaction stream per step — and the mirror leaf
+    carries a zero-size placeholder through the scan."""
     from nanokappa_tpu.ops.megastep import tile_width
 
     N = state.packed.shape[0]
     L = tile_width(N) // 8
+    packed = state.packed.T.reshape(16, N // L, L)
+    if combined:
+        return dataclasses.replace(
+            state,
+            packed=jnp.concatenate(
+                [packed, state.mirror.T.reshape(8, N // L, L)], axis=0
+            ),
+            mirror=jnp.zeros((0,), jnp.float32),
+        )
     return dataclasses.replace(
         state,
-        packed=state.packed.T.reshape(16, N // L, L),
+        packed=packed,
         mirror=state.mirror.T.reshape(8, N // L, L),
     )
 
 
 def from_transposed(state: SimState) -> SimState:
-    """Leave the v2 scan convention: state.packed -> (N, 16)."""
+    """Leave the v2 scan convention: state.packed -> (N, 16) (+ (N, 8)
+    mirror, split back out of the combined layout when present)."""
     C, NR, L = state.packed.shape
+    flat = state.packed.reshape(C, NR * L)
+    if C == 24:
+        return dataclasses.replace(
+            state, packed=flat[:16].T, mirror=flat[16:24].T
+        )
     return dataclasses.replace(
         state,
-        packed=state.packed.reshape(16, NR * L).T,
+        packed=flat.T,
         mirror=state.mirror.reshape(8, NR * L).T,
     )
 
@@ -592,28 +623,29 @@ def refresh_tau_T(
     )
 
     C, NR, L = stateT.packed.shape
-    pT = stateT.packed.reshape(16, NR * L)
+    pT = stateT.packed.reshape(C, NR * L)
     pos = pT[0:3].T
     mode = _bc_i32(pT[C_MODE])
     alive = pT[C_ALIVE] > 0.5
     sv = subvol_id(geo, pos)
     if use_mirror:
-        # slope form: refresh (a, b) of main + mirror modes
+        # slope form: refresh (a, b) of main + mirror modes. The mirror
+        # cache rides as rows 16..23 of the combined pool.
+        assert C == 24, C
         M = mat.tau.shape[1]
-        mT = stateT.mirror.reshape(8, NR * L)
-        m_mode = _bc_i32(mT[X_MODE])
+        m_mode = _bc_i32(pT[16 + X_MODE])
         has = alive & (m_mode >= 0)
         m_c = jnp.clip(m_mode, 0, M - 1)
         a, b = slope_pair(mat, stateT.T_sv, sv, jnp.clip(mode, 0, M - 1))
         a_m, b_m = slope_pair(mat, stateT.T_sv, sv, m_c)
-        packed = pT.at[C_TAU].set(jnp.where(alive, a, pT[C_TAU]))
-        mT = mT.at[X_TAU].set(jnp.where(has, a_m, mT[X_TAU]))
-        mT = mT.at[X_TAUB].set(jnp.where(alive, b, mT[X_TAUB]))
-        mT = mT.at[X_MTAUB].set(jnp.where(has, b_m, mT[X_MTAUB]))
+        pT = pT.at[C_TAU].set(jnp.where(alive, a, pT[C_TAU]))
+        pT = pT.at[16 + X_TAU].set(jnp.where(has, a_m, pT[16 + X_TAU]))
+        pT = pT.at[16 + X_TAUB].set(jnp.where(alive, b, pT[16 + X_TAUB]))
+        pT = pT.at[16 + X_MTAUB].set(
+            jnp.where(has, b_m, pT[16 + X_MTAUB])
+        )
         return dataclasses.replace(
-            stateT,
-            packed=packed.reshape(16, NR, L),
-            mirror=mT.reshape(8, NR, L),
+            stateT, packed=pT.reshape(C, NR, L)
         )
     if params.temp_interp == "nearest":
         tau = lifetime_by_sv(mat, stateT.T_sv, sv, mode)
@@ -624,7 +656,7 @@ def refresh_tau_T(
         tau = lifetime_lookup(mat, T_p, mode)
     packed = pT.at[C_TAU].set(jnp.where(alive, tau, pT[C_TAU]))
     return dataclasses.replace(
-        stateT, packed=packed.reshape(16, NR, L)
+        stateT, packed=packed.reshape(C, NR, L)
     )
 
 

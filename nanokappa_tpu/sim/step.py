@@ -300,14 +300,15 @@ def make_v2_block_runner(
     n_sub = n_inner // m
 
     def compacted(stateT: SimState) -> SimState:
-        pool, mirr, tail = compact_pool(
-            stateT.packed, stateT.mirror if use_mirror else None,
-            interpret=interp, vma=vary,
+        # on the mirror path stateT.packed is the COMBINED (24, NR, L)
+        # pool (mirror rows 16..23 compact through the same delta network
+        # by construction — one DMA stream)
+        pool, _, tail = compact_pool(
+            stateT.packed, None, interpret=interp, vma=vary,
         )
         return dataclasses.replace(
             stateT,
             packed=pool,
-            mirror=mirr if use_mirror else stateT.mirror,
             free_count=stateT.free_count.at[0].set(tail),
         )
 
@@ -331,7 +332,7 @@ def make_v2_block_runner(
         return stateT, last
 
     def run_blocks(state: SimState):
-        stateT = to_transposed(state)
+        stateT = to_transposed(state, combined=use_mirror)
         if n_outer == 1:
             stateT, out = block(stateT)
         else:

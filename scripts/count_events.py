@@ -71,7 +71,7 @@ def main():
     L = tile_width(N) // 8
     pool3 = state.packed.T.reshape(16, N // L, L)
     pool, _, tail = compact_pool(pool3)
-    _, _, ecnt, acnt, _, _, _, _, _ = drift_megastep(
+    _, _, ecnt, acnt, _, _, _, _ = drift_megastep(
         pool, state.T_sv, jax.numpy.asarray(1), geo, params
     )
     key = jax.random.fold_in(state.key, state.step)
