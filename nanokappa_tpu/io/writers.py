@@ -118,6 +118,21 @@ def write_particle_data(folder: str, modes_qj: np.ndarray, positions: np.ndarray
         + "hdf file = {}, POSCAR file = {}\n".format(hdf_file, poscar_file)
         + "q-point, branch, pos x [angs], pos y [angs], pos z [angs], occupation"
     )
+    from nanokappa_tpu.native import format_particle_rows
+
+    body = format_particle_rows(
+        np.asarray(modes_qj[:, 0]), np.asarray(modes_qj[:, 1]),
+        np.asarray(positions, dtype=np.float64),
+        np.asarray(occupation, dtype=np.float64),
+    )
+    if body is not None:
+        # byte-identical to the np.savetxt call below, ~30x faster at the
+        # driver's every-100-step checkpoint cadence (1e6 rows)
+        with open(path, "wb") as f:
+            for line in header.split("\n"):
+                f.write(b"# " + line.encode() + b"\n")
+            f.write(body)
+        return
     data = np.hstack((modes_qj, positions, occupation.reshape(-1, 1)))
     np.savetxt(path, data, "%d, %d, %.3f, %.3f, %.3f, %.6e", header=header)
 

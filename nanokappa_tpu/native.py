@@ -55,6 +55,11 @@ def _load():
         lib.count_crossings.argtypes = [
             c_dp, c_dp, ctypes.c_int64, c_dp, c_dp, c_dp, ctypes.c_int64, c_i32,
         ]
+        lib.format_particle_rows.argtypes = [
+            c_i64, c_i64, c_dp, c_dp, c_dp, c_dp, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.format_particle_rows.restype = ctypes.c_int64
         _LIB = lib
     except Exception:
         _LIB = None
@@ -98,6 +103,37 @@ def build_alias(weights: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
         _ptr(alias, ctypes.c_int64), _ptr(work, ctypes.c_int64),
     )
     return prob, alias
+
+
+def format_particle_rows(
+    q: np.ndarray, j: np.ndarray, pos: np.ndarray, occ: np.ndarray
+) -> bytes | None:
+    """particle_data.txt rows, formatted natively (np.savetxt's per-row
+    Python formatting costs ~4 s at 1e6 rows on the driver's 100-step
+    checkpoint path). Byte-identical to np.savetxt with
+    fmt='%d, %d, %.3f, %.3f, %.3f, %.6e'. None if no native lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(q)
+    qq = np.ascontiguousarray(q, dtype=np.int64)
+    jj = np.ascontiguousarray(j, dtype=np.int64)
+    x = np.ascontiguousarray(pos[:, 0], dtype=np.float64)
+    y = np.ascontiguousarray(pos[:, 1], dtype=np.float64)
+    z = np.ascontiguousarray(pos[:, 2], dtype=np.float64)
+    oc = np.ascontiguousarray(occ, dtype=np.float64)
+    cap = 96 * max(n, 1) + 256
+    buf = np.empty(cap, dtype=np.uint8)  # ctypes' string buffer zero-fills
+    #   and .raw copies the whole cap — ~1.7 s of pure overhead at 1e6 rows
+    w = lib.format_particle_rows(
+        _ptr(qq, ctypes.c_int64), _ptr(jj, ctypes.c_int64),
+        _ptr(x, ctypes.c_double), _ptr(y, ctypes.c_double),
+        _ptr(z, ctypes.c_double), _ptr(oc, ctypes.c_double),
+        n, ctypes.cast(buf.ctypes.data, ctypes.c_char_p), cap,
+    )
+    if w < 0:
+        return None
+    return memoryview(buf)[: int(w)]
 
 
 def count_crossings(
