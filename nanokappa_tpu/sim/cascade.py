@@ -337,12 +337,15 @@ def run_event_buffer(
     # ---- round 1 at full buffer width; most events finish here ---------------
     buf1 = body(buf)
 
-    # ---- rounds 2+ on a re-compacted narrow buffer (survivors are few: a
-    # particle only continues if it hit ANOTHER wall within the same dt —
-    # measured ~0.05% of N on the film config, so E/32 leaves ~5x headroom;
-    # overflow lanes freeze harmlessly until the next step and are counted in
-    # `frozen`) ----------------------------------------------------------------
-    EVT2 = _pad8(max(E // 32, 256))
+    # ---- rounds 2+ on a re-compacted narrow buffer (survivors: lanes that
+    # hit ANOTHER wall within the same dt. With the in-kernel mirror path
+    # the buffer's population is ALREADY the deep-bouncing tail — at 1e7
+    # particles ~900 lanes/step survive round 1 (corner grazers bounce many
+    # times per dt), and an undersized buffer freezes them EVERY step,
+    # accumulating a standing frozen population. E/4 covers the measured
+    # tail with ~2x headroom; overflow lanes freeze until the next step and
+    # are counted in `frozen`) -------------------------------------------------
+    EVT2 = _pad8(max(E // 4, 512))
     surv = buf1.alive & (buf1.remaining > _REMAIN_EPS)
     sidx2, n2 = _compact(surv, EVT2)
     frozen2 = surv.sum(dtype=jnp.int32) - n2  # overflow: stay alive, frozen

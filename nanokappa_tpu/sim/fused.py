@@ -193,32 +193,14 @@ def slope_tau_active(geo, btab, params, mat) -> bool:
     )
 
 
-def _mirror_rows(btab, mat, rows, T_sv, geo, params, sv=None):
-    """Specular-mirror cache rows for freshly created or mode-changed
-    particle rows (injections, narrow-machinery outputs): one row gather
-    from the extended wall table (sim/boundary_tables.py _spec_ext:
-    [p, corr, omega[corr], v[corr]]) plus the SLOPE-FORM lifetime pairs of
-    both the main and the mirror mode (sim/scatter.py slope_pair).
-
-    Returns (mrows (E, M_COLS), tau_a (E,)): the mirror rows and the main
-    mode's intercept, which the caller writes into the rows' C_TAU column
-    (slope form holds whenever the mirror cache is active)."""
-    from nanokappa_tpu.sim.state import C_MODE, _bc_i32
-
-    from nanokappa_tpu.sim.boundary_tables import combined_mirror_rows
-
-    mode = _bc_i32(rows[:, C_MODE])
-    M = btab.spec_corr.shape[1]
-    mtab = jnp.asarray(combined_mirror_rows(btab, mat))
-    sc = mtab[jnp.clip(mode, 0, M - 1)]  # (E, 8)
-    corr = jax.lax.bitcast_convert_type(sc[:, 1], jnp.int32)
+def _mirror_assemble(mat, mode, corr, m_omega, m_vel, sv, T_sv):
+    """(mrows (E, M_COLS), tau_a) from already-gathered correspondence
+    columns: the SLOPE-FORM lifetime pairs of the main and mirror modes
+    share one set of per-lane bin metadata (sim/scatter.py slope_pair
+    semantics, inlined — this stage is op-launch bound)."""
+    M = mat.tau.shape[1]
     has = corr >= 0
     corr_c = jnp.clip(corr, 0, M - 1)
-    if sv is None:
-        sv = subvol_id(geo, rows[:, C_POS])
-    # both slope pairs share one set of per-lane bin metadata (i, T_lo,
-    # T_hi) — sim/scatter.py slope_pair semantics, inlined to halve the
-    # op count of this op-launch-bound stage
     nT = mat.tau_T.shape[0]
     i_sv = jnp.clip(
         jnp.searchsorted(mat.tau_T, T_sv) - 1, 0, max(nT - 2, 0)
@@ -237,8 +219,8 @@ def _mirror_rows(btab, mat, rows, T_sv, geo, params, sv=None):
     mrows = jnp.concatenate(
         [
             _bc_f32(corr)[:, None],
-            jnp.where(has, sc[:, 2], 0.0)[:, None],
-            jnp.where(has[:, None], sc[:, 3:6], 0.0),
+            jnp.where(has, m_omega, 0.0)[:, None],
+            jnp.where(has[:, None], m_vel, 0.0),
             jnp.where(has, m_a, 0.0)[:, None],  # X_TAU = a_mirror
             tau_b[:, None],  # X_TAUB = b_main
             jnp.where(has, m_b, 0.0)[:, None],  # X_MTAUB = b_mirror
@@ -246,6 +228,32 @@ def _mirror_rows(btab, mat, rows, T_sv, geo, params, sv=None):
         axis=1,
     )
     return mrows, tau_a
+
+
+def _mirror_rows(btab, mat, rows, T_sv, geo, params, sv=None):
+    """Specular-mirror cache rows for mode-changed particle rows
+    (narrow-machinery outputs): one row gather from the combined wall table
+    ([p, corr, omega[corr], v[corr]]) + _mirror_assemble. Injections skip
+    this gather — their combined per-reservoir table already carries the
+    correspondence columns (make_step_v2 inj_ext).
+
+    Returns (mrows (E, M_COLS), tau_a (E,)): the mirror rows and the main
+    mode's intercept, which the caller writes into the rows' C_TAU column
+    (slope form holds whenever the mirror cache is active)."""
+    from nanokappa_tpu.sim.state import C_MODE, _bc_i32
+
+    from nanokappa_tpu.sim.boundary_tables import combined_mirror_rows
+
+    mode = _bc_i32(rows[:, C_MODE])
+    M = btab.spec_corr.shape[1]
+    mtab = jnp.asarray(combined_mirror_rows(btab, mat))
+    sc = mtab[jnp.clip(mode, 0, M - 1)]  # (E, 8)
+    corr = jax.lax.bitcast_convert_type(sc[:, 1], jnp.int32)
+    if sv is None:
+        sv = subvol_id(geo, rows[:, C_POS])
+    return _mirror_assemble(
+        mat, jnp.clip(mode, 0, M - 1), corr, sc[:, 2], sc[:, 3:6], sv, T_sv
+    )
 
 
 def make_step_v2(
@@ -270,6 +278,26 @@ def make_step_v2(
         if use_mirror
         else None
     )
+    if use_mirror and rtab.n_reservoirs > 0:
+        # extend the per-(reservoir, mode) injection table with the
+        # specular-correspondence columns [corr_bits, omega[corr], v[corr]]
+        # so injections build their mirror-cache rows from the SAME row
+        # gather (the separate (M, 8) wall-table gather cost 0.4 ms/step at
+        # inj_cap ~ 24k, 1e7 particles)
+        from nanokappa_tpu.sim.boundary_tables import combined_mirror_rows
+
+        _sc = _np.asarray(combined_mirror_rows(btab, mat))  # (M, 8)
+        _ip = _np.asarray(rtab.inj_props)  # (R, M, 5)
+        _ext = _np.concatenate(
+            [
+                _ip,
+                _np.broadcast_to(
+                    _sc[None, :, 1:6], (_ip.shape[0], _sc.shape[0], 5)
+                ),
+            ],
+            axis=-1,
+        )  # (R, M, 10)
+        rtab = dataclasses.replace(rtab, inj_props=jnp.asarray(_ext))
 
     if axis_name is None:
         psum = lambda x: x  # noqa: E731
@@ -345,11 +373,12 @@ def make_step_v2(
         # driver warns on sustained storms)
         # with the in-kernel specular path, the buffer only carries
         # 3+-bounce chains and no-correspondence diffuse lanes (measured
-        # ~0.01% of N on the film config vs 1.2% of reflections), and rows
-        # pack TIGHTLY (no per-block alignment waste), so ~20x steady-state
-        # margin fits in N/512
+        # ~0.013% of N on the film config vs 1.2% of reflections), and rows
+        # pack TIGHTLY (no per-block alignment waste), so N/2048 still
+        # leaves ~4x steady-state margin — every narrow-stage op runs at
+        # this width, 0.9 ms/step of gathers at the old N/512 and 1e7
         evt_default = (
-            max(1024, N // 512) if use_mirror
+            max(2048, N // 2048) if use_mirror
             else max(params.inj_cap, N // 64)
         )
         EVT_CAP = -(-(params.evt_cap or evt_default) // 128) * 128
@@ -363,14 +392,25 @@ def make_step_v2(
         # drops mean the pool is undersized for the injection rate).
         cap = params.inj_cap
         if R > 0:
-            inj_rows, n_valid, new_counter, dropped = sample_injections(
+            (inj_rows, n_valid, new_counter, dropped,
+             inj_props) = sample_injections(
                 state, geo, mat, rtab, params, k_inj, shard_idx()
             )
             tail = state.free_count[0]
             valid_inj = jnp.arange(cap, dtype=jnp.int32) < n_valid
             if use_mirror:
-                mrows_inj, tau_a_inj = _mirror_rows(
-                    btab, mat, inj_rows, state.T_sv, geo, params,
+                # correspondence columns ride the injection-table row
+                # already gathered by sample_injections (no extra gather)
+                from nanokappa_tpu.sim.state import C_MODE, _bc_i32
+
+                corr_inj = _bc_i32(inj_props[:, 5])
+                mode_inj = jnp.clip(
+                    _bc_i32(inj_rows[:, C_MODE]), 0, mat.tau.shape[1] - 1
+                )
+                sv_inj = subvol_id(geo, inj_rows[:, C_POS])
+                mrows_inj, tau_a_inj = _mirror_assemble(
+                    mat, mode_inj, corr_inj, inj_props[:, 6],
+                    inj_props[:, 7:10], sv_inj, state.T_sv,
                 )
                 # slope form: C_TAU carries the intercept (X_TAUB the slope)
                 inj_rows = inj_rows.at[:, C_TAU].set(tau_a_inj)
@@ -394,6 +434,14 @@ def make_step_v2(
             pool3, state.T_sv, state.step > 0, geo, params,
             ecap=EVT_CAP, interpret=interpret, vma=vary,
             export_rows=use_mirror,
+            # tail-append clustering: event-survivor rows re-enter at the
+            # pool tail, and a re-bouncing lane population concentrates the
+            # next step's exports into the tail tiles — the per-tile window
+            # must cover a whole cluster (measured ~700/tile at 1e7) or the
+            # excess freezes every step. The extraction loop only runs
+            # `kept` iterations, so a wide window costs nothing when tiles
+            # hold the usual ~2 pending lanes.
+            w_exp=min(1024, EVT_CAP),
             tau_bounds=tau_bounds if use_mirror else None,
         )
         frozen_k = jnp.sum(ecnt - ecnt_c)

@@ -154,7 +154,10 @@ def sample_injections(
     """Generate this step's reservoir particles WITHOUT placing them.
 
     Returns (inj_rows (cap, 16) f32 packed rows — valid lanes first —
-    n_valid, new_res_counter, dropped): the sampling half of `inject`,
+    n_valid, new_res_counter, dropped, props (cap, K) — the gathered
+    per-(reservoir, mode) injection-table rows, so the caller can reuse
+    trailing correspondence columns of an extended table without a second
+    gather): the sampling half of `inject`,
     shared by the v1 step (which scatters rows into free-list slots) and
     the v2 step (which appends them contiguously at the pool tail).
     Under particle-axis sharding each shard runs the process at
@@ -170,6 +173,7 @@ def sample_injections(
             jnp.zeros((), jnp.int32),
             state.res_counter,
             jnp.zeros((), jnp.int32),
+            jnp.zeros((cap, 5), jnp.float32),
         )
     dt = params.dt
     k_counts, k_dtin, k_pos1, k_pos2, k_tri, k_oto = jax.random.split(key, 6)
@@ -382,7 +386,7 @@ def sample_injections(
         ],
         axis=1,
     )
-    return inj_rows, n_valid, new_counter, dropped_inj
+    return inj_rows, n_valid, new_counter, dropped_inj, props
 
 
 def inject(
@@ -406,7 +410,7 @@ def inject(
             state,
             jnp.full(params.inj_cap, state.alive.shape[0], dtype=jnp.int32),
         )
-    inj_rows, n_valid, new_counter, dropped_inj = sample_injections(
+    inj_rows, n_valid, new_counter, dropped_inj, _ = sample_injections(
         state, geo, mat, rtab, params, key, shard_idx
     )
     cap = params.inj_cap

@@ -289,7 +289,7 @@ def make_v2_block_runner(
     # the pool with >= 25% margin, sim/state.py round_pool_cap callers).
     N_shard = params.n_cap // max(1, params.n_shards)
     evt_default = (
-        max(1024, N_shard // 512) if use_mirror
+        max(2048, N_shard // 2048) if use_mirror
         else max(params.inj_cap, N_shard // 64)
     )  # must track sim/fused.py's evt_default
     evt_eff = -(-(params.evt_cap or evt_default) // 128) * 128
@@ -312,8 +312,18 @@ def make_v2_block_runner(
             free_count=stateT.free_count.at[0].set(tail),
         )
 
+    need = m * per_step  # worst-case tail growth of one sub-block
+
     def sub(stateT: SimState, _=None):
-        stateT = compacted(stateT)
+        # compact only when the coming sub-block could outrun the tail room
+        # (a 2.4 GB full-pool pass at 1e7 particles — unconditional
+        # per-sub-block compaction cost 0.49 ms/step there while actual
+        # growth needs it only every ~100 steps). The m-sizing bound above
+        # guarantees a freshly compacted pool always fits `need`.
+        stateT = jax.lax.cond(
+            stateT.free_count[0] + need > N_shard,
+            compacted, lambda s: s, stateT,
+        )
         stateT, outs = jax.lax.scan(step, stateT, length=m)
         return stateT, jax.tree.map(lambda x: x[-1], outs)
 
@@ -333,6 +343,12 @@ def make_v2_block_runner(
 
     def run_blocks(state: SimState):
         stateT = to_transposed(state, combined=use_mirror)
+        # ONE unconditional compaction at run entry: it establishes the
+        # tail-pointer semantics of free_count[0] (init_state spreads
+        # particles across the whole pool and leaves free_count as a
+        # free-LIST depth — appending at that "tail" would overwrite live
+        # lanes). Subsequent sub-blocks compact only on tail pressure.
+        stateT = compacted(stateT)
         if n_outer == 1:
             stateT, out = block(stateT)
         else:

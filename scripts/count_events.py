@@ -75,7 +75,7 @@ def main():
         pool, state.T_sv, jax.numpy.asarray(1), geo, params
     )
     key = jax.random.fold_in(state.key, state.step)
-    _, n_valid, _, dropped = sample_injections(
+    _, n_valid, _, dropped, _ = sample_injections(
         state, geo, mat.device_tables(), rtab, params, key, 0
     )
     ecnt = np.asarray(ecnt)

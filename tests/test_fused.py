@@ -162,3 +162,23 @@ def test_v2_mirror_specular_matches_v1():
     # symmetric and no lane escapes through the R walls
     pos = np.asarray(s2.pos)[np.asarray(s2.alive)]
     assert pos[:, 1].min() >= -1e-3 and pos[:, 1].max() <= 1e3 + 1e-3
+
+
+def test_v2_runner_conserves_population():
+    """The build_step runner (scan harness: entry compaction + tail-pressure
+    compaction cadence) must keep the population balanced from a FRESH
+    init_state, whose particles are spread across the whole pool and whose
+    free_count is a free-list depth, not a tail pointer. A round-3 bug made
+    the first sub-block skip compaction, so injections overwrote live lanes
+    at a bogus tail and the population decayed by the absorption rate."""
+    from nanokappa_tpu.sim.step import build_step
+
+    mat, dom, geo, btab, rtab, params, state = _build(
+        bound="TTRRP", rough=0.0, impl="v2"
+    )
+    run = build_step(geo, mat.device_tables(), btab, rtab, params, n_inner=5)
+    n0 = int(np.asarray(state.alive).sum())
+    for _ in range(4):
+        state, out = run(state)
+    assert int(out.lost) == 0
+    assert abs(int(out.N_p) - n0) < 0.05 * n0, (int(out.N_p), n0)
