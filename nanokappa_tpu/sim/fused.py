@@ -434,14 +434,12 @@ def make_step_v2(
             pool3, state.T_sv, state.step > 0, geo, params,
             ecap=EVT_CAP, interpret=interpret, vma=vary,
             export_rows=use_mirror,
-            # tail-append clustering: event-survivor rows re-enter at the
-            # pool tail, and a re-bouncing lane population concentrates the
-            # next step's exports into the tail tiles — the per-tile window
-            # must cover a whole cluster (measured ~700/tile at 1e7) or the
-            # excess freezes every step. The extraction loop only runs
-            # `kept` iterations, so a wide window costs nothing when tiles
-            # hold the usual ~2 pending lanes.
-            w_exp=min(1024, EVT_CAP),
+            # per-tile export window: 256 covers the measured tail-tile
+            # clustering (event survivors re-enter at the pool tail; max
+            # per-tile pend observed ~23 at 1e7) — widening to 1024 changed
+            # nothing in frozen counts but cost the kernel ~0.5 ms/step at
+            # 1e7 in wider RMW windows
+            w_exp=min(256, EVT_CAP),
             tau_bounds=tau_bounds if use_mirror else None,
         )
         frozen_k = jnp.sum(ecnt - ecnt_c)

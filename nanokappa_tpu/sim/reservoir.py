@@ -142,6 +142,16 @@ def autosize_c_max(rtab: ReservoirTables, n_shards: int = 1) -> int:
     return max(3, int(max_ep) + 1)
 
 
+def _select_rows(table: jax.Array, idx: jax.Array, R: int) -> jax.Array:
+    """table[idx] for a TINY (R, K) f32 table via unrolled selects: XLA
+    lowers even a 2-row gather at 31k lanes to ~0.34 ms of scalar loads,
+    while R broadcast-selects are pure vector ops."""
+    out = jnp.broadcast_to(table[0][None, :], (idx.shape[0], table.shape[1]))
+    for r in range(1, R):
+        out = jnp.where((idx == r)[:, None], table[r][None, :], out)
+    return out
+
+
 def sample_injections(
     state: SimState,
     geo: DeviceGeometry,
@@ -332,7 +342,9 @@ def sample_injections(
             u2 = inj_upos  # from the pooled path's single uniform tensor
         else:
             u2 = jax.random.uniform(k_pos1, (cap, 2))
-        rect = geo.res_rect[inj_res]  # (cap,9)
+        # R is tiny: unrolled selects beat an XLA gather (0.34 ms at 31k
+        # lanes for a 2-row table) — same for every per-reservoir scalar
+        rect = _select_rows(geo.res_rect, inj_res, R)  # (cap,9)
         inj_pos = (
             rect[:, 0:3]
             + u2[:, :1] * rect[:, 3:6]
@@ -359,13 +371,17 @@ def sample_injections(
     # occupation at reservoir temperature (classes/Population.py:505-506);
     # omega/velocity/tau(T_res) come from ONE row gather over the combined
     # (R,M,5) injection table (rtab.inj_props)
-    T_res = geo.res_temperature[inj_res]
+    T_res = _select_rows(geo.res_temperature[:, None], inj_res, R)[:, 0]
     props = rtab.inj_props[inj_res, inj_mode]  # (cap,5)
     inj_omega = props[:, 0]
     inj_vel = props[:, 1:4]
     inj_tau = props[:, 4]
     inj_dev = occupation_delta_T(T_res, params.t_reference, inj_omega)
-    inj_facet = geo.res_facet[inj_res]
+    # facet ids are small ints — exact in f32, so select in float and cast
+    # back (no bitcast denormal hazard)
+    inj_facet = _select_rows(
+        geo.res_facet.astype(jnp.float32)[:, None], inj_res, R
+    )[:, 0].astype(jnp.int32)
 
     from nanokappa_tpu.sim.state import _bc_f32
 
