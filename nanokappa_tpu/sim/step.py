@@ -250,9 +250,6 @@ def build_step(geo, mat, btab, rtab, params, n_inner: int = 1, n_outer: int = 1)
             out = jax.tree.map(lambda x: x[-1], outs)
         else:
             state, out = jax.lax.scan(block, state, length=n_outer)
-        # keep the separate sv_id view fresh for host-side figure/postprocess
-        # consumers (the v2 step only maintains the C_SV column)
-        state = dataclasses.replace(state, sv_id=state.sv_col)
         return state, out
 
     return run
@@ -354,7 +351,9 @@ def make_v2_block_runner(
         else:
             stateT, out = jax.lax.scan(block, stateT, length=n_outer)
         state = from_transposed(stateT)
-        state = dataclasses.replace(state, sv_id=state.sv_col)
+        # host-side figure/postprocess consumers read sv via state.sv_col
+        # directly (the sv_id leaf is carried but stale on the v2 path —
+        # refreshing it every run cost a full (N,) slice+store per boundary)
         return state, out
 
     return run_blocks

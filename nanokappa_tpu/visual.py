@@ -268,7 +268,7 @@ def spectral_kappa(sim, n_bands: int = 100, T_mean: np.ndarray | None = None):
     vel = mat.group_vel.reshape(-1, 3)[modes]
     occ = sim.occupation_of(s)[alive]
     T_sv = np.asarray(s.T_sv, dtype=float)
-    sv = np.asarray(s.sv_id)[alive]
+    sv = np.asarray(s.sv_col)[alive]
     from nanokappa_tpu.material.tables import bose_einstein
 
     Tm = T_sv if T_mean is None else np.asarray(T_mean, dtype=float)
@@ -362,7 +362,7 @@ def runtime_figures(sim):
         np.asarray(s.pos)[alive],
         omega,
         np.asarray(s.dev)[alive],
-        np.asarray(s.sv_id)[alive],
+        np.asarray(s.sv_col)[alive],
         np.asarray(s.T_sv, dtype=float),
         list(sim.args.fig_plot),
         str(sim.args.colormap[0]),
@@ -422,7 +422,7 @@ def postprocess(sim, verbose: bool = False):
         np.asarray(s.pos)[alive],
         omega,
         np.asarray(s.dev)[alive],
-        np.asarray(s.sv_id)[alive],
+        np.asarray(s.sv_col)[alive],
         np.asarray(s.T_sv, dtype=float),
         list(sim.args.fig_plot) or ["energy"],
     )
