@@ -277,14 +277,38 @@ def _kernel(
         tau_b = in_ref[22]
         m_tau_b = in_ref[23]
         m_mode = i32(m_mode_b)
-    # position-derived subvolume id (slice domains are index arithmetic) —
-    # identical to the C_SV column the round-3 merge kernel used to refresh,
-    # since nothing moves between a step's binning and the next step's drift
+    # position-derived subvolume id — identical to sim/binning.py subvol_id:
+    # slice domains are index arithmetic; grid/voronoi domains are a
+    # nearest-centre argmin, unrolled over the static centre table (the
+    # reference's SubvolClassifier is a nearest-centre interpolator for
+    # every type, classes/Geometry.py:1198-1213)
     SVn = cfg["n_subvols"]
-    pa0 = (px, py, pz)[cfg["slice_axis"]]
-    sv = jnp.clip(
-        ((pa0 - cfg["lo_b"]) * cfg["inv_len"]).astype(jnp.int32), 0, SVn - 1
-    )
+
+    def _sv_of(qx, qy, qz):
+        if cfg["sv_mode"] == "slice":
+            qa = (qx, qy, qz)[cfg["slice_axis"]]
+            return jnp.clip(
+                ((qa - cfg["lo_b"]) * cfg["inv_len"]).astype(jnp.int32),
+                0, SVn - 1,
+            )
+        # nearest centre: d2 = |c|^2 - 2 q.c (same algebra as the XLA
+        # classifier; first-minimum tie-break like argmin)
+        cx, cy, cz = cfg["centers"][0]
+        best = jnp.zeros(qx.shape, jnp.int32)
+        bd = (cx * cx + cy * cy + cz * cz) - 2.0 * (
+            qx * cx + qy * cy + qz * cz
+        )
+        for si in range(1, SVn):
+            cx, cy, cz = cfg["centers"][si]
+            d = (cx * cx + cy * cy + cz * cz) - 2.0 * (
+                qx * cx + qy * cy + qz * cz
+            )
+            take = d < bd
+            best = jnp.where(take, si, best)
+            bd = jnp.where(take, d, bd)
+        return best
+
+    sv = _sv_of(px, py, pz)
 
     # remaining dt fraction: frozen lanes resume their leftover, fresh
     # injections carry dt_in/dt, everyone else gets a full step
@@ -554,10 +578,7 @@ def _kernel(
     # two sums partition the population, matching sim/binning.py:124-167 on
     # the end-of-step state). dn is taken against the SUBVOLUME temperature
     # (classes/Population.py:707), positions are post-drift.
-    pa_f = (px, py, pz)[cfg["slice_axis"]]
-    sv = jnp.clip(
-        ((pa_f - cfg["lo_b"]) * cfg["inv_len"]).astype(jnp.int32), 0, SVn - 1
-    )
+    sv = _sv_of(px, py, pz)
     SV8 = cfg["sv8"]
     T_b = jnp.zeros(SH, jnp.float32)
     for s in range(SVn):
@@ -749,6 +770,10 @@ def drift_megastep(
         # machinery's while-loop rounds (0.36 ms/step at N=1.25e6);
         # without it the extra facet-select pass isn't worth it
         u_rounds=2 if use_mirror else 1,
+        sv_mode="slice" if geo.subvol_type == "slice" else "nearest",
+        centers=tuple(
+            (float(c[0]), float(c[1]), float(c[2])) for c in center
+        ),
         n_reservoirs=int(geo.n_reservoirs),
         hbar=HBAR,
         bn=bn,

@@ -80,19 +80,29 @@ FORCE_INTERPRET = False  # debug knob: run the Pallas kernels in interpret
 
 def v2_eligible(geo: DeviceGeometry, params: SimParams) -> bool:
     """The fused step covers the production envelope: axis-aligned box
-    geometry + slice subvolumes + nearest/linear interpolation + a pool
-    capacity aligned to the kernel tile (the driver and bench round n_cap
-    up). Everything else (imported STL, voronoi/grid subvolumes, radial RBF
+    geometry with slice subvolumes (nearest/linear interpolation) or
+    grid/voronoi subvolumes (nearest interpolation, <= 32 centres — the
+    kernel's nearest-centre argmin unrolls over the static centre table),
+    and a pool capacity aligned to the kernel tile (the driver and bench
+    round n_cap up). Everything else (imported STL, radial RBF
     interpolation, debug ablations) runs the v1 step."""
     from nanokappa_tpu.ops.megastep import tile_width
 
     if params.step_impl == "v1" or params.debug_skip:
         return False
-    if not geo.is_box or geo.subvol_type != "slice":
+    if not geo.is_box:
         return False
-    if params.temp_interp not in ("nearest", "linear"):
+    if geo.subvol_type == "slice":
+        if params.temp_interp not in ("nearest", "linear"):
+            return False
+        if geo.n_subvols > 64:
+            return False
+    elif geo.subvol_type in ("grid", "voronoi"):
+        if params.temp_interp != "nearest" or geo.n_subvols > 32:
+            return False
+    else:
         return False
-    if geo.n_subvols > 64 or geo.n_reservoirs > 7:
+    if geo.n_reservoirs > 7:
         return False
     if (
         params.n_cap % params.n_shards != 0

@@ -182,3 +182,51 @@ def test_v2_runner_conserves_population():
         state, out = run(state)
     assert int(out.lost) == 0
     assert abs(int(out.N_p) - n0) < 0.05 * n0, (int(out.N_p), n0)
+
+
+@pytest.mark.parametrize("subvols", [("grid", 2, 2, 2), ("voronoi", 6)])
+def test_v2_nearest_subvolumes_match_v1(subvols):
+    """Box domains with grid/voronoi subvolumes now ride the fused step
+    (kernel nearest-centre argmin, unrolled over the static centre table).
+    On the deterministic TTP config the v1 and v2 trajectories coincide
+    particle-for-particle; subvolume observables must agree to f32 noise
+    (cell-border ulp ties may bin a particle differently)."""
+    mat = synthetic_material(mesh=(4, 4, 4))
+    dom = build_domain(
+        geometry="box", dimensions=(2e3, 1e3, 1e3), subvolumes=subvols,
+        bound_pos=("relative", -0.1, 0.5, 0.5, 1.1, 0.5, 0.5),
+        bound_cond=("T", "T", "P"), bound_values=(302.0, 298.0),
+        connect_pos=("relative", 0.5, -0.1, 0.5, 0.5, 1.1, 0.5,
+                     0.5, 0.5, -0.1, 0.5, 0.5, 1.1),
+    )
+    n_p, rho = particle_count(("total", 3000), mat, dom)
+    geo = build_device_geometry(dom)
+    btab = build_boundary_tables(mat, dom)
+    rtab = build_reservoir_tables(mat, dom, 1.0, rho)
+    outs = {}
+    for impl in ("v1", "v2"):
+        params = SimParams(
+            dt=1.0, n_cap=4096, inj_cap=512, temp_interp="nearest",
+            particle_density=rho, n_active_modes=mat.n_active_modes,
+            t_reference=300.0, step_impl=impl,
+        )
+        from nanokappa_tpu.sim.fused import v2_eligible
+
+        assert v2_eligible(geo, params) == (impl == "v2")
+        state = init_state(
+            mat, dom, geo, params, n_p, temp_dist="linear", seed=3, btab=btab
+        )
+        step = jax.jit(make_step(geo, mat.device_tables(), btab, rtab, params))
+        o = []
+        for _ in range(4):
+            state, out = step(state)
+            o.append(out)
+        outs[impl] = o
+    for k, (a, b) in enumerate(zip(outs["v1"], outs["v2"])):
+        np.testing.assert_allclose(
+            np.asarray(a.T_sv), np.asarray(b.T_sv), rtol=1e-4,
+            err_msg=f"T_sv step {k} {subvols}")
+        np.testing.assert_allclose(
+            np.asarray(a.Np_sv), np.asarray(b.Np_sv), atol=3,
+            err_msg=f"Np_sv step {k} {subvols}")
+        assert int(b.lost) == 0
