@@ -19,7 +19,9 @@ cost 0.24 ms/step at N=1.25e6). Per tile, entirely in VMEM:
      the two points (see sim/fused.py for the full argument),
   2. stale-lane ray cast (fresh injections) against the axis-aligned box
      planes (the box fast path of ops/raycast.py:50-69, unrolled over the
-     static facet tables),
+     static facet tables) or, for general small meshes (every built-in
+     primitive), a Möller–Trumbore cast unrolled over the static triangle
+     table (ops/raycast.py:_raycast_unrolled semantics),
   3. drift by min(t_coll, remaining) (reference Population.py:1724-1769),
   4. bounded in-kernel resolution of PERIODIC translations, reservoir
      ABSORPTION, and (when the mirror cache is active, sim/fused.py
@@ -193,6 +195,76 @@ def _box_raycast(pos, vel, exclude, tables, do):
     return best_t, best_f
 
 
+def _lin3(cs, vs, base=None):
+    """sum(c * v) over the static coefficients `cs`, skipping statically-zero
+    terms (primitive meshes are full of axis-aligned triangles whose edge
+    vectors have one or two zero components)."""
+    acc = base
+    for c, v in zip(cs, vs):
+        c = float(c)
+        if c == 0.0:
+            continue
+        term = v if c == 1.0 else (-v if c == -1.0 else v * c)
+        acc = term if acc is None else acc + term
+    if acc is None:
+        return jnp.zeros(vs[0].shape, jnp.float32)
+    return acc
+
+
+def _tri_raycast(pos, vel, exclude, tables, do):
+    """In-register Möller–Trumbore ray cast, unrolled over the STATIC
+    triangle table (ops/raycast.py:_raycast_unrolled semantics: inclusive
+    barycentric tolerance, _T_BACK corner acceptance, facet-id exclusion).
+    pos/vel: 3x(8,bn8); exclude (8,bn8) i32 facet id; `do` masks the lanes
+    that need a cast. Returns (t ps, facet id). Static unroll keeps the
+    lane dimension dense — viable for the <=128-triangle primitive meshes
+    v2_eligible admits (imported STLs beyond that run the v1 step)."""
+    px, py, pz = pos
+    vx, vy, vz = vel
+    sh = px.shape
+    best_t = jnp.full(sh, jnp.inf, jnp.float32)
+    best_f = jnp.full(sh, -1, jnp.int32)
+    tri_o = tables["tri_o"]
+    tri_e1 = tables["tri_e1"]
+    tri_e2 = tables["tri_e2"]
+    tri_f = tables["tri_f"]
+    for k in range(tri_o.shape[0]):
+        a = tri_o[k]
+        e1 = tri_e1[k]
+        e2 = tri_e2[k]
+        fid = int(tri_f[k])
+        # h = d x e2 (e2 static)
+        hx = _lin3((e2[2], -e2[1]), (vy, vz))
+        hy = _lin3((-e2[2], e2[0]), (vx, vz))
+        hz = _lin3((e2[1], -e2[0]), (vx, vy))
+        det = _lin3(e1, (hx, hy, hz))
+        inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        sx = px - float(a[0])
+        sy = py - float(a[1])
+        sz = pz - float(a[2])
+        u = (sx * hx + sy * hy + sz * hz) * inv
+        # q = s x e1 (e1 static)
+        qx = _lin3((e1[2], -e1[1]), (sy, sz))
+        qy = _lin3((-e1[2], e1[0]), (sx, sz))
+        qz = _lin3((e1[1], -e1[0]), (sx, sy))
+        w = (vx * qx + vy * qy + vz * qz) * inv
+        t_raw = _lin3(e2, (qx, qy, qz)) * inv
+        t = jnp.maximum(t_raw, 0.0)
+        ok = (
+            do
+            & (jnp.abs(det) > 1e-12)
+            & (u >= -1e-5)
+            & (w >= -1e-5)
+            & (u + w <= 1.0 + 1e-5)
+            & (t_raw > _T_BACK_DT)
+            & (exclude != fid)
+            & (t < best_t)
+        )
+        best_t = jnp.where(ok, t, best_t)
+        best_f = jnp.where(ok, fid, best_f)
+    return best_t, best_f
+
+
 def _kernel(
     tsv_ref,  # (1, SVP) f32 SMEM subvolume temperatures (padded)
     rta_ref,  # (1, 1) i32 SMEM: apply deferred RTA this step?
@@ -358,8 +430,9 @@ def _kernel(
     dev = jnp.where(do_rta, g + (dev - g) * decay, dev)
 
     # ---- 2. stale-lane ray cast (fresh injections sit on their facet) ------
+    _cast = _box_raycast if tables["is_box"] else _tri_raycast
     stale = alive & (cf == STALE)
-    t_b, f_b = _box_raycast((px, py, pz), (vx, vy, vz), onf, tables, stale)
+    t_b, f_b = _cast((px, py, pz), (vx, vy, vz), onf, tables, stale)
     t_coll = jnp.where(stale, t_b / dt, t_coll)
     cf = jnp.where(stale, f_b, cf)
 
@@ -485,7 +558,7 @@ def _kernel(
 
         # re-cast + drift the remainder for translated/reflected lanes
         mv = per | rfl
-        t_b, f_b = _box_raycast((px, py, pz), (vx, vy, vz), onf, tables, mv)
+        t_b, f_b = _cast((px, py, pz), (vx, vy, vz), onf, tables, mv)
         t_coll = jnp.where(mv, t_b / dt, t_coll)
         cf = jnp.where(mv, f_b, cf)
         sf = jnp.where(mv & alive, jnp.minimum(t_coll, rem), 0.0)
@@ -657,20 +730,26 @@ def _kernel(
             l0 = pl.multiple_of((l // 128) * 128, 128)
             loff = l - l0
             v = out_ref[:, :, pl.ds(l0, 128)]  # (CC, 8, 128) aligned load
-            v2d = jnp.sum(jnp.where(sub8 == r, v, 0.0), axis=1)  # (CC,128)
+            # mask-reduce in the INT domain: several columns are bitcast
+            # int32 (C_MODE/C_CF/C_ONF, small ids whose f32 bit patterns are
+            # DENORMALS) — a float add flushes them to zero, which turned
+            # every exported lane's collision facet into facet 0 (absorbed
+            # at reservoir 0). Int adds are bit-exact for every column.
+            vi = i32(v)
+            v2d = jnp.sum(jnp.where(sub8 == r, vi, 0), axis=1)  # (CC,128)
             col = jnp.sum(
-                jnp.where(lane2d == loff, v2d, 0.0), axis=1, keepdims=True
+                jnp.where(lane2d == loff, v2d, 0), axis=1, keepdims=True
             )  # (CC,1)
             return jnp.where(laneW2 == d + k, col, acc)
 
         @pl.when(kept > 0)
         def _export():
             acc_rows = jax.lax.fori_loop(
-                0, kept, _extract, jnp.zeros((CC, 2 * W), jnp.float32)
+                0, kept, _extract, jnp.zeros((CC, 2 * W), jnp.int32)
             )
             window = rows_ref[:, pl.ds(a0, 2 * W)]
             rows_ref[:, pl.ds(a0, 2 * W)] = jnp.where(
-                (laneW2 >= d) & (laneW2 < d + kept), acc_rows, window
+                (laneW2 >= d) & (laneW2 < d + kept), bc32(acc_rows), window
             )
 
     @pl.when(b == nb - 1)
@@ -733,9 +812,17 @@ def drift_megastep(
     bc_np = np.asarray(geo.facet_bc)
     tables = dict(
         F=int(geo.n_facets),
+        is_box=bool(geo.is_box),
         axis=np.asarray(geo.box_axis),
         sign=np.asarray(geo.box_sign),
         plane=np.asarray(geo.box_plane),
+        # general (non-box) geometry: the STATIC triangle table for the
+        # in-kernel unrolled Möller–Trumbore cast (primitive meshes are
+        # 32-96 triangles; v2_eligible caps at TRI_KERNEL_MAX)
+        tri_o=np.asarray(geo.tri_origin),
+        tri_e1=np.asarray(geo.tri_e1),
+        tri_e2=np.asarray(geo.tri_e2),
+        tri_f=np.asarray(geo.tri_facet),
         is_absorb=(bc_np == int(BC.TEMPERATURE)) | (bc_np == int(BC.FLUX)),
         is_rough=bc_np == int(BC.ROUGH),
         is_periodic=bc_np == int(BC.PERIODIC),

@@ -78,19 +78,26 @@ FORCE_INTERPRET = False  # debug knob: run the Pallas kernels in interpret
 #   mode even on TPU (scripts/; Mosaic-vs-interpret A/B isolation)
 
 
+TRI_KERNEL_MAX = 128  # static-unroll budget of the in-kernel triangle cast
+
+
 def v2_eligible(geo: DeviceGeometry, params: SimParams) -> bool:
     """The fused step covers the production envelope: axis-aligned box
-    geometry with slice subvolumes (nearest/linear interpolation) or
-    grid/voronoi subvolumes (nearest interpolation, <= 32 centres — the
-    kernel's nearest-centre argmin unrolls over the static centre table),
-    and a pool capacity aligned to the kernel tile (the driver and bench
-    round n_cap up). Everything else (imported STL, radial RBF
-    interpolation, debug ablations) runs the v1 step."""
+    geometry (in-register slab ray cast) or any triangle mesh up to
+    TRI_KERNEL_MAX triangles — every built-in primitive (cylinder, zigzag,
+    corrugated, castle, star, freewire at default tessellation) and small
+    imported STLs — via a statically-unrolled in-kernel Möller–Trumbore
+    cast; slice subvolumes (nearest/linear interpolation) or grid/voronoi
+    subvolumes (nearest interpolation, <= 32 centres — the kernel's
+    nearest-centre argmin unrolls over the static centre table), and a pool
+    capacity aligned to the kernel tile (the driver and bench round n_cap
+    up). Everything else (large STL, radial RBF interpolation, debug
+    ablations) runs the v1 step."""
     from nanokappa_tpu.ops.megastep import tile_width
 
     if params.step_impl == "v1" or params.debug_skip:
         return False
-    if not geo.is_box:
+    if not geo.is_box and geo.tri_origin.shape[0] > TRI_KERNEL_MAX:
         return False
     if geo.subvol_type == "slice":
         if params.temp_interp not in ("nearest", "linear"):
@@ -136,7 +143,33 @@ def mirror_eligible(geo: DeviceGeometry, btab, params: SimParams, mat=None) -> b
     corr = np.asarray(btab.corr)
     if not np.all((spec == 1.0) | (corr < 0)):  # eta = 0 everywhere
         return False
-    return combined_mirror_rows(btab, mat) is not None
+    rows = combined_mirror_rows(btab, mat)
+    if rows is None:
+        return False
+    # coverage gate: the mirror path's event-buffer sizing (EVT_CAP ~
+    # N/2048) assumes nearly every reflection resolves in-register. A
+    # sparse map (e.g. a k-grid that does not mirror onto a wall family —
+    # the velocity model can still fail on curved/odd-angle walls) would
+    # export most reflections through the w_exp-bounded scalar extraction
+    # and freeze the overflow every step. Require >= 95% of the modes that
+    # can actually hit a rough wall (v . n_wall > 0) to carry a partner.
+    from nanokappa_tpu.geometry.domain import BC
+
+    cur = np.asarray(rows)[:, 1].view(np.int32)
+    v = np.asarray(mat.omega_vel)[:, 1:4] if hasattr(
+        mat, "omega_vel") else None
+    if v is None:
+        from nanokappa_tpu.sim.boundary_tables import _mode_tables
+
+        v, _, _ = _mode_tables(mat)
+    bc = np.asarray(geo.facet_bc)
+    normals = np.asarray(geo.facet_normal)[bc == int(BC.ROUGH)]
+    need = np.zeros(cur.shape[0], bool)
+    for n in normals:
+        need |= (v @ n) > 1e-12
+    if not need.any() or (cur[need] >= 0).mean() < 0.95:
+        return False
+    return True
 
 
 def _append_window(

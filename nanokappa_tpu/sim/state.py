@@ -56,9 +56,10 @@ class SimParams:
     #   rate/n_shards with its own accumulator
     step_impl: str = field(metadata=dict(static=True), default="auto")
     #   "auto" picks the fused Pallas step (v2) when the config is eligible
-    #   (axis-aligned box + slice subvolumes + nearest/linear interp) and a
-    #   TPU backend is present; "v1"/"v2" force an implementation ("v2" on
-    #   CPU runs the kernels in interpret mode — tests only)
+    #   (box or <=128-triangle mesh, slice/grid/voronoi subvolumes,
+    #   nearest/linear interp — sim/fused.py v2_eligible) and a TPU backend
+    #   is present; "v1"/"v2" force an implementation ("v2" on CPU runs the
+    #   kernels in interpret mode — tests only)
 
 
 # columns of the packed per-particle state matrix. Keeping every per-particle

@@ -230,3 +230,122 @@ def test_v2_nearest_subvolumes_match_v1(subvols):
             np.asarray(a.Np_sv), np.asarray(b.Np_sv), atol=3,
             err_msg=f"Np_sv step {k} {subvols}")
         assert int(b.lost) == 0
+
+
+def _build_cylinder(impl, n_sides=8):
+    """Nanowire: cylinder with T caps and eta = 0 rough side walls. The
+    synthetic k-grid has no specular partners across the octagon wall
+    normals (mirror-map coverage 0), so the mirror fast path must stay OFF
+    (sim/fused.py mirror_eligible coverage gate) and the fused step runs
+    the in-kernel TRIANGLE ray cast + index-export path."""
+    mat = synthetic_material(mesh=(4, 4, 4))
+    dom = build_domain(
+        geometry="cylinder", dimensions=(2e3, 500.0, n_sides),
+        subvolumes=("slice", 5, 2),
+        bound_pos=("relative", 0.5, 0.5, -0.1, 0.5, 0.5, 1.1),
+        bound_cond=("T", "T", "R"), bound_values=(302.0, 298.0, 0.0),
+    )
+    n_p, rho = particle_count(("total", 3000), mat, dom)
+    params = SimParams(
+        dt=1.0, n_cap=4096, inj_cap=512, temp_interp="nearest",
+        particle_density=rho, n_active_modes=mat.n_active_modes,
+        t_reference=300.0, step_impl=impl,
+    )
+    geo = build_device_geometry(dom)
+    btab = build_boundary_tables(mat, dom)
+    rtab = build_reservoir_tables(mat, dom, 1.0, rho)
+    state = init_state(
+        mat, dom, geo, params, n_p, temp_dist="linear", seed=3, btab=btab
+    )
+    return mat, dom, geo, btab, rtab, params, state
+
+
+def test_v2_cylinder_matches_v1():
+    """Non-box geometry on the fused step: the in-kernel unrolled
+    Möller–Trumbore cast (ops/megastep.py _tri_raycast) against v1's
+    general raycast. All cylinder-wall reflections are DIFFUSE here (no
+    specular partners on the synthetic grid), so per-lane RNG differs
+    between the paths; compare population/ledger statistics, not
+    trajectories. Guards the denormal-flush regression that absorbed every
+    exported event row at reservoir 0 (n_leaving[0] read 65 vs v1's 6)."""
+    from nanokappa_tpu.sim.fused import mirror_eligible, v2_eligible
+
+    mat, dom, geo, btab, rtab, params, state = _build_cylinder("v2")
+    assert not geo.is_box
+    assert v2_eligible(geo, params)
+    assert not mirror_eligible(geo, btab, params, mat.device_tables())
+
+    res = {}
+    for impl in ("v1", "v2"):
+        mat, dom, geo, btab, rtab, params, state = _build_cylinder(impl)
+        step = jax.jit(
+            make_step(geo, mat.device_tables(), btab, rtab, params)
+        )
+        o = []
+        for _ in range(4):
+            state, out = step(state)
+            o.append(out)
+        res[impl] = o
+    for k, (a, b) in enumerate(zip(res["v1"], res["v2"])):
+        np.testing.assert_allclose(
+            np.asarray(a.T_sv), np.asarray(b.T_sv), atol=0.05,
+            err_msg=f"T_sv step {k}")
+        # the first step has identical lane states in both paths: the
+        # absorption ledger must agree exactly
+        if k == 0:
+            np.testing.assert_array_equal(
+                np.asarray(a.n_leaving), np.asarray(b.n_leaving))
+        assert int(b.lost) == 0 and int(b.frozen) == 0
+        assert abs(int(a.N_p) - int(b.N_p)) < 30
+    # population balanced (injection replaces absorption; the pre-fix
+    # mirror+denormal path drained ~60 particles/step)
+    assert abs(int(res["v2"][-1].N_p) - 3000) < 100
+
+
+def test_megastep_row_export_bit_exact():
+    """Kernel-level guard for the exported-ROW extraction: every exported
+    row must be a BIT-EXACT copy of its source pool lane. The extraction
+    mask-reduce must run in the int domain — the bitcast facet/mode/onf
+    columns of small ids are f32 denormals that a float add flushes to
+    zero (ops/megastep.py step 5.9)."""
+    import jax.numpy as jnp
+    from nanokappa_tpu.ops.compact_pool import compact_pool
+    from nanokappa_tpu.ops.megastep import drift_megastep, tile_width
+    from nanokappa_tpu.sim.state import C_ALIVE, C_REM
+
+    mat, dom, geo, btab, rtab, params, state = _build_cylinder("v2")
+    N = state.packed.shape[0]
+    L = tile_width(N) // 8
+    pool3 = jnp.concatenate(
+        [
+            state.packed.T.reshape(16, N // L, L),
+            state.mirror.T.reshape(8, N // L, L),
+        ],
+        axis=0,
+    )
+    pool3, _, _ = compact_pool(pool3, None, interpret=True)
+    EVT_CAP = 2048
+    out = drift_megastep(
+        pool3, state.T_sv, jnp.asarray(0), geo, params, ecap=EVT_CAP,
+        interpret=True, export_rows=True, w_exp=256, tau_bounds=(0.1, 3e38),
+    )
+    pool3_d, evt_buf, ecnt, _acnt, _starts, kept, ledger, _kbins = out
+    k = int(np.asarray(kept).sum())
+    assert k > 20, "config must export a healthy batch of event rows"
+    assert int(np.asarray(ecnt).sum()) == k  # none frozen
+    rows = np.asarray(evt_buf)[:16, :EVT_CAP].T[:k]
+    # source lanes: alive in the input pool, dead in the output pool, with
+    # remaining time (absorbed lanes also die but consume their dt)
+    pin = np.asarray(pool3.reshape(24, N))
+    pout = np.asarray(pool3_d.reshape(24, N))
+    exp_lanes = np.nonzero(
+        (pin[C_ALIVE] > 0.5) & (pout[C_ALIVE] < 0.5)
+        & (pout[C_REM] > 1e-5)
+    )[0]
+    assert len(exp_lanes) == k
+    # the exported rows are verbatim copies of the written tile (the alive
+    # column reads 0 — sim/fused.py's vbuf restores liveness downstream)
+    src = pout[:16, exp_lanes].T.copy()
+    a = np.sort(rows.view(np.int32), axis=0)
+    b = np.sort(src.view(np.int32), axis=0)
+    np.testing.assert_array_equal(a, b)

@@ -90,3 +90,34 @@ def test_v2_mirror_specular_on_chip():
     # specular walls seal the domain
     pos = np.asarray(s2.pos)[np.asarray(s2.alive)]
     assert pos[:, 1].min() >= -1e-3 and pos[:, 1].max() <= 1e3 + 1e-3
+
+
+def test_v2_triangle_cast_on_chip():
+    """Mosaic-compiled non-box fused step: cylinder nanowire with an
+    unrolled in-kernel Möller–Trumbore cast (ops/megastep.py _tri_raycast).
+    Wall reflections are diffuse (per-lane RNG differs between paths), so
+    compare population statistics plus the first step's exact absorption
+    ledger (lane states are identical until the first reflection)."""
+    from tests.test_fused import _build_cylinder
+    from nanokappa_tpu.sim.step import make_step
+
+    res = {}
+    for impl in ("v1", "v2"):
+        mat, dom, geo, btab, rtab, params, state = _build_cylinder(impl)
+        step = jax.jit(
+            make_step(geo, mat.device_tables(), btab, rtab, params)
+        )
+        o = []
+        for _ in range(4):
+            state, out = step(state)
+            o.append(out)
+        res[impl] = o
+    for k, (a, b) in enumerate(zip(res["v1"], res["v2"])):
+        np.testing.assert_allclose(
+            np.asarray(a.T_sv), np.asarray(b.T_sv), atol=0.05,
+            err_msg=f"T_sv step {k}")
+        if k == 0:
+            np.testing.assert_array_equal(
+                np.asarray(a.n_leaving), np.asarray(b.n_leaving))
+        assert int(b.lost) == 0 and int(b.frozen) == 0
+        assert abs(int(a.N_p) - int(b.N_p)) < 30
