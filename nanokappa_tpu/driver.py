@@ -282,6 +282,36 @@ class Simulation:
 
     # ------------------------------------------------------------------ run
 
+    def _rebuild_step(self, evt_cap: int):
+        """Rebuild the jitted step programs with a larger event buffer
+        (frozen-storm adaptation). The SimState pytree is unchanged — only
+        internal buffer widths grow — so the running state carries over;
+        the cost is one recompile of the batched runner (and lazily of the
+        tail runner, which is dropped here and rebuilt on demand)."""
+        import dataclasses
+
+        from nanokappa_tpu.sim.fused import make_finalize, v2_eligible
+
+        self.params = dataclasses.replace(self.params, evt_cap=evt_cap)
+        if self._mesh is not None:
+            from nanokappa_tpu.parallel import build_sharded_step
+
+            self.run_steps = build_sharded_step(
+                self.geo, self.mtab, self.btab, self.rtab, self.params,
+                self._mesh, n_inner=N_DT_TO_CONV, n_outer=CONV_BATCH,
+            )
+        else:
+            self.run_steps = build_step(
+                self.geo, self.mtab, self.btab, self.rtab, self.params,
+                n_inner=N_DT_TO_CONV, n_outer=CONV_BATCH,
+            )
+        self._run_tail = None
+        self._finalize = (
+            make_finalize(self.geo, self.mtab, self.params, btab=self.btab)
+            if v2_eligible(self.geo, self.params)
+            else (lambda s: s)
+        )
+
     def _observe(self, out):
         """Convert StepOutputs into one convergence datapoint (host)."""
         dom, args = self.domain, self.args
@@ -443,19 +473,38 @@ class Simulation:
                 # frozen-storm detection: `frozen` counts boundary events
                 # postponed because the event buffer overflowed. A sustained
                 # storm (> 1% of the pool per 100 steps) means evt_cap is
-                # undersized for this geometry — warn loudly instead of
-                # silently degrading the time resolution of those paths.
+                # undersized for this geometry — ADAPT: double the event
+                # buffer and rebuild the step program (the state pytree is
+                # unchanged, only the internal buffer widths grow, so the
+                # running state carries over; bounded to 3 regrows / n_cap//4
+                # so a pathological config cannot recompile forever).
                 frozen_now = int(last_row["frozen"]) if last_row else 0
                 d_frozen = frozen_now - getattr(self, "_frozen_prev", 0)
                 self._frozen_prev = frozen_now
                 if d_frozen > 0.01 * self.params.n_cap:
-                    print(
-                        f"WARNING: {d_frozen} boundary events frozen in the "
-                        f"last 100 steps (event buffer overflow) — rerun "
-                        f"with a larger evt_cap (current "
-                        f"{self.params.evt_cap or max(self.params.inj_cap, self.params.n_cap // 64)})",
-                        flush=True,
+                    cur = self.params.evt_cap or max(
+                        self.params.inj_cap, self.params.n_cap // 64
                     )
+                    grown = getattr(self, "_evt_regrows", 0)
+                    new_cap = min(2 * cur, self.params.n_cap // 4)
+                    if grown < 3 and new_cap > cur:
+                        self._evt_regrows = grown + 1
+                        print(
+                            f"NOTE: {d_frozen} boundary events frozen in "
+                            f"the last 100 steps (event buffer overflow) — "
+                            f"growing evt_cap {cur} -> {new_cap} and "
+                            f"rebuilding the step (regrow "
+                            f"{self._evt_regrows}/3)",
+                            flush=True,
+                        )
+                        self._rebuild_step(evt_cap=new_cap)
+                    else:
+                        print(
+                            f"WARNING: {d_frozen} boundary events frozen in "
+                            f"the last 100 steps (event buffer overflow at "
+                            f"evt_cap {cur}) — rerun with a larger evt_cap",
+                            flush=True,
+                        )
                 # escape self-healing, sharded or not: the check is pure
                 # elementwise jnp over the particle axis, so jit propagates
                 # the state's "p" shardings through it (reference heals

@@ -81,3 +81,45 @@ def test_material_rotation(tmp_path):
     np.testing.assert_allclose(
         rot.bulk_kappa_rta(300.0), base.bulk_kappa_rta(300.0), rtol=1e-9
     )
+
+
+def test_evt_cap_regrow(tmp_path):
+    """Frozen-storm adaptation: _rebuild_step grows the event buffer and
+    rebuilds the jitted runners in place — the running SimState carries
+    over (its pytree is unchanged) and the simulation continues cleanly."""
+    from nanokappa_tpu.io.config import read_args
+    from nanokappa_tpu.driver import Simulation
+    from nanokappa_tpu.material import write_synthetic_hdf5
+
+    matdir = str(tmp_path / "mat")
+    write_synthetic_hdf5(matdir, mesh=(4, 4, 4))
+    argv = [
+        "--mat_folder", matdir, "--hdf_file", "kappa-m444.hdf5",
+        "--poscar_file", "POSCAR", "--geometry", "box",
+        "--dimensions", "5e3", "1e3", "1e3",
+        "--subvolumes", "slice", "5", "0",
+        "--bound_pos", "relative", "-0.1", "0.5", "0.5",
+        "1.1", "0.5", "0.5",
+        "--bound_cond", "T", "T", "P", "--bound_values", "302", "298",
+        "--connect_pos", "relative", "0.5", "-0.1", "0.5",
+        "0.5", "1.1", "0.5", "0.5", "0.5", "-0.1", "0.5", "0.5", "1.1",
+        "--particles", "total", "3e3", "--timestep", "1",
+        "--iterations", "100",
+        "--results_folder", str(tmp_path / "res"), "--output", "screen",
+    ]
+    from nanokappa_tpu.io.config import generate_results_folder
+
+    args = generate_results_folder(read_args(argv))
+    sim = Simulation(args)
+    sim.state, out0 = sim.run_steps(sim.state)
+    old_cap = sim.params.evt_cap
+    sim._rebuild_step(evt_cap=512)
+    assert sim.params.evt_cap == 512 and sim.params.evt_cap != old_cap
+    assert sim._run_tail is None  # tail runner dropped, rebuilt on demand
+    sim.state, out1 = sim.run_steps(sim.state)
+    import jax
+
+    T = np.asarray(jax.tree.map(lambda x: x[-1], out1).T_sv)
+    assert np.all(T > 290) and np.all(T < 310)
+    Np = int(np.asarray(jax.tree.map(lambda x: x[-1], out1).N_p))
+    assert abs(Np - 3000) < 300
