@@ -482,8 +482,16 @@ class Simulation:
                 d_frozen = frozen_now - getattr(self, "_frozen_prev", 0)
                 self._frozen_prev = frozen_now
                 if d_frozen > 0.01 * self.params.n_cap:
-                    cur = self.params.evt_cap or max(
-                        self.params.inj_cap, self.params.n_cap // 64
+                    from nanokappa_tpu.sim.fused import (
+                        autosize_evt_cap, mirror_eligible,
+                    )
+
+                    cur = self.params.evt_cap or autosize_evt_cap(
+                        self.geo, self.mtab, self.params,
+                        mirror_eligible(
+                            self.geo, self.btab, self.params, self.mtab
+                        ),
+                        self.params.n_cap // max(1, self.params.n_shards),
                     )
                     grown = getattr(self, "_evt_regrows", 0)
                     new_cap = min(2 * cur, self.params.n_cap // 4)

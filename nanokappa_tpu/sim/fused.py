@@ -81,6 +81,44 @@ FORCE_INTERPRET = False  # debug knob: run the Pallas kernels in interpret
 TRI_KERNEL_MAX = 128  # static-unroll budget of the in-kernel triangle cast
 
 
+def autosize_evt_cap(geo, mat, params, use_mirror: bool, N_shard: int) -> int:
+    """Default event-buffer width for the fused step.
+
+    Mirror path: exports are 3+-bounce chains and no-correspondence lanes
+    only (measured ~0.013% of N on the film config) — N/2048 with a floor.
+
+    Non-mirror path: every ROUGH-wall hit exports to the narrow machinery,
+    so the width must track the kinetic wall-collision rate
+    rate = A_rough * vbar * dt / (4 V) (collisions per particle per step —
+    kinetic theory; thin nanowires reach ~5%/step where the round-3 N/64
+    default silently froze an ever-growing backlog). 2x margin, clamped to
+    [old N/64 floor, N/8]."""
+    import numpy as np
+
+    if use_mirror:
+        return max(2048, N_shard // 2048)
+    floor = max(params.inj_cap, N_shard // 64)
+    if geo.n_facets == 0 or float(geo.volume) <= 0:
+        return floor
+    from nanokappa_tpu.geometry.domain import BC
+
+    tri_f = np.asarray(geo.tri_facet)
+    bc = np.asarray(geo.facet_bc)
+    e1 = np.asarray(geo.tri_e1)
+    e2 = np.asarray(geo.tri_e2)
+    areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+    rough_area = float(areas[bc[tri_f] == int(BC.ROUGH)].sum())
+    if rough_area == 0.0:
+        return floor
+    ov = np.asarray(mat.omega_vel)
+    act = np.asarray(mat.active).astype(bool)
+    v = np.linalg.norm(ov[:, 1:4], axis=1)
+    vbar = float(v[act].mean()) if act.any() else float(v.mean())
+    rate = rough_area * vbar * float(params.dt) / (4.0 * float(geo.volume))
+    est = int(2.0 * rate * N_shard)
+    return int(np.clip(est, floor, max(floor, N_shard // 8)))
+
+
 def v2_eligible(geo: DeviceGeometry, params: SimParams) -> bool:
     """The fused step covers the production envelope: axis-aligned box
     geometry (in-register slab ray cast) or any triangle mesh up to
@@ -419,11 +457,11 @@ def make_step_v2(
         # ~0.013% of N on the film config vs 1.2% of reflections), and rows
         # pack TIGHTLY (no per-block alignment waste), so N/2048 still
         # leaves ~4x steady-state margin — every narrow-stage op runs at
-        # this width, 0.9 ms/step of gathers at the old N/512 and 1e7
-        evt_default = (
-            max(2048, N // 2048) if use_mirror
-            else max(params.inj_cap, N // 64)
-        )
+        # this width, 0.9 ms/step of gathers at the old N/512 and 1e7.
+        # Without the mirror the width tracks the kinetic rough-wall
+        # collision rate (autosize_evt_cap — thin nanowires reach ~5%/step
+        # where a flat N/64 silently froze an ever-growing backlog)
+        evt_default = autosize_evt_cap(geo, mat, params, use_mirror, N)
         EVT_CAP = -(-(params.evt_cap or evt_default) // 128) * 128
         key = jax.random.fold_in(state.key, state.step)
         key = jax.random.fold_in(key, shard_idx())

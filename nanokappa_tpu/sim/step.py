@@ -285,10 +285,9 @@ def make_v2_block_runner(
     # sized so the appends cannot outrun ~N/5 of slack (the driver sizes
     # the pool with >= 25% margin, sim/state.py round_pool_cap callers).
     N_shard = params.n_cap // max(1, params.n_shards)
-    evt_default = (
-        max(2048, N_shard // 2048) if use_mirror
-        else max(params.inj_cap, N_shard // 64)
-    )  # must track sim/fused.py's evt_default
+    from nanokappa_tpu.sim.fused import autosize_evt_cap
+
+    evt_default = autosize_evt_cap(geo, mat, params, use_mirror, N_shard)
     evt_eff = -(-(params.evt_cap or evt_default) // 128) * 128
     per_step = evt_eff + params.inj_cap
     m = max(1, min(n_inner, (N_shard // 5) // max(1, per_step)))

@@ -109,3 +109,47 @@ def test_results_folder_indexing(tmp_path):
 
     a2 = generate_results_folder(B())
     assert a2.results_folder.endswith("run_1")
+
+
+def test_offline_postprocess_own_folder(tmp_path, matdir):
+    """--postprocess <folder>: rebuild every figure from the files alone
+    (reference Visualisation.read_particles + postprocess,
+    classes/Visualisation.py:98-120, 214-254). Run a short simulation,
+    delete its figures, then regenerate them offline through the CLI."""
+    from nanokappa_tpu.cli import main
+
+    pfile = make_params_file(tmp_path, matdir)
+    main(["-ff", pfile])
+    folder = str(tmp_path / "test_results" / "test_0")
+    figs = [f for f in os.listdir(folder) if f.endswith(".png")]
+    assert figs
+    for f in figs:
+        os.remove(os.path.join(folder, f))
+    main(["--postprocess", folder])
+    for f in ["convergence_T.png", "convergence_kappa.png",
+              "convergence_en_balance.png", "fig_energy.png"]:
+        assert os.path.exists(os.path.join(folder, f)), f
+
+
+def test_offline_postprocess_reference_golden(tmp_path):
+    """The offline postprocess must also digest the REFERENCE's own shipped
+    results folder (readme_fig/test_white_0): its arguments.txt carries
+    reference-only flags (tolerant parse) and its material blobs are
+    stripped from the mirror, so mode-resolved figures degrade gracefully
+    while every convergence figure rebuilds."""
+    import shutil
+
+    src = "/root/reference/readme_fig/test_white_0"
+    if not os.path.isdir(src):
+        pytest.skip("reference golden folder not present")
+    folder = str(tmp_path / "golden")
+    os.makedirs(folder)
+    for f in os.listdir(src):
+        if f.endswith(".txt"):
+            shutil.copy(os.path.join(src, f), folder)
+    from nanokappa_tpu.visual import postprocess_folder
+
+    postprocess_folder(folder)
+    for f in ["convergence_T.png", "convergence_kappa.png",
+              "convergence_en_balance.png"]:
+        assert os.path.exists(os.path.join(folder, f)), f
