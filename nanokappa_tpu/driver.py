@@ -169,6 +169,7 @@ class Simulation:
             n_active_modes=material.n_active_modes,
             t_reference=t_ref,
             n_shards=n_shards,
+            evt_cap=int(getattr(args, "evt_cap", [0])[0]),
         )
 
         # --- tables ---------------------------------------------------------
