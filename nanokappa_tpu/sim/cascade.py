@@ -352,24 +352,41 @@ def run_event_buffer(
     lane2 = jnp.arange(EVT2, dtype=jnp.int32)
     v2 = lane2 < n2
 
-    def gat2(x):
-        return jnp.take(x, sidx2, axis=0, indices_are_sorted=True, mode="clip")
-
-    def take2(x, fill):
-        return jnp.where(v2 if x.ndim == 1 else v2[:, None], gat2(x), fill)
-
+    # ONE (E, 14) row gather instead of ten per-field gathers (each gather
+    # is a separial HLO op; the ten cost 1.1 ms/step at the nanowire's
+    # EVT2 = 14k vs ~0.1 ms for the packed row form — wire trace,
+    # round 3). Int columns ride bitcast f32 through concat/gather/slice —
+    # all bit-preserving ops.
+    mat14 = jnp.concatenate(
+        [
+            buf1.pos,  # 0:3
+            buf1.vel,  # 3:6
+            buf1.omega[:, None],  # 6
+            buf1.tau[:, None],  # 7
+            buf1.dev[:, None],  # 8
+            bc32(buf1.mode)[:, None],  # 9
+            bc32(buf1.coll_facet)[:, None],  # 10
+            buf1.t_coll[:, None],  # 11
+            bc32(buf1.on_facet)[:, None],  # 12
+            buf1.remaining[:, None],  # 13
+        ],
+        axis=1,
+    )
+    g2 = jnp.take(
+        mat14, sidx2, axis=0, indices_are_sorted=True, mode="clip"
+    )  # (EVT2, 14)
     buf2 = _Buf(
-        pos=gat2(buf1.pos),
-        mode=gat2(buf1.mode),
-        vel=gat2(buf1.vel),
-        omega=gat2(buf1.omega),
-        tau=gat2(buf1.tau),
-        dev=gat2(buf1.dev),
+        pos=g2[:, 0:3],
+        mode=i32(g2[:, 9]),
+        vel=g2[:, 3:6],
+        omega=g2[:, 6],
+        tau=g2[:, 7],
+        dev=g2[:, 8],
         alive=v2,
-        t_coll=take2(buf1.t_coll, 0.0),
-        coll_facet=take2(buf1.coll_facet, -1),
-        on_facet=gat2(buf1.on_facet),
-        remaining=take2(buf1.remaining, 0.0),
+        t_coll=jnp.where(v2, g2[:, 11], 0.0),
+        coll_facet=jnp.where(v2, i32(g2[:, 10]), -1),
+        on_facet=i32(g2[:, 12]),
+        remaining=jnp.where(v2, g2[:, 13], 0.0),
         ledger=buf1.ledger,
         lost=buf1.lost,
         key=buf1.key,
@@ -423,7 +440,9 @@ def run_event_buffer(
             bc32(out2.on_facet)[:, None],
             out2.remaining[:, None],
             alive2.astype(f32)[:, None],
-            gat2(sv_bits)[:, None],
+            jnp.take(
+                sv_bits, sidx2, axis=0, indices_are_sorted=True, mode="clip"
+            )[:, None],
         ],
         axis=1,
     )  # (EVT2, N_COLS)
