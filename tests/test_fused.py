@@ -349,3 +349,33 @@ def test_megastep_row_export_bit_exact():
     a = np.sort(rows.view(np.int32), axis=0)
     b = np.sort(src.view(np.int32), axis=0)
     np.testing.assert_array_equal(a, b)
+
+
+def test_v2_sharded_triangle_geometry():
+    """Non-box fused step under shard_map on the virtual CPU mesh: the
+    in-kernel triangle cast + index-export path must compose with psums
+    and per-shard injection (the box sharded test cannot catch tri-cast
+    table handling inside the mapped kernel)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    from nanokappa_tpu.parallel import (
+        build_sharded_step, make_particle_mesh, shard_state,
+    )
+
+    mat, dom, geo, btab, rtab, params, state = _build_cylinder("v2")
+    import dataclasses
+
+    params = dataclasses.replace(params, n_shards=2)
+    state = init_state(
+        mat, dom, geo, params, 3000, temp_dist="linear", seed=3, btab=btab
+    )
+    mesh = make_particle_mesh(2)
+    state = shard_state(state, mesh)
+    run = build_sharded_step(
+        geo, mat.device_tables(), btab, rtab, params, mesh, n_inner=2
+    )
+    state, out = run(state)
+    T = np.asarray(out.T_sv)
+    assert np.all(T > 290) and np.all(T < 310)
+    assert int(out.lost) == 0
+    assert abs(int(out.N_p) - 3000) < 200
