@@ -54,6 +54,10 @@ class BoundaryTables:
     #   omega[m], v[m] (3), omega[alias], v[alias] (3)] — m is the row's own
     #   mode (the uniform draw j indexes this table directly)
     row_of_rough: jax.Array  # (NR,) i32 rough facet -> table row
+    # internal membranes are hit from BOTH sides; back-side hits (v.n < 0
+    # at the stored facet normal) use the row built for the flipped normal.
+    # For boundary facets row_back == row_of_rough (never hit from behind).
+    row_back: jax.Array  # (NR,) i32 rough facet -> back-side table row
     degen_partner: jax.Array  # (M,) i32 partner branch mode or -1 ('k' model)
     n_rough: int = field(metadata=dict(static=True))
     n_rows: int = field(metadata=dict(static=True))
@@ -365,6 +369,7 @@ def build_boundary_tables(
                 _diff_ext(mat, np.ones((1, M)), np.zeros((1, M), np.int64))
             ),
             row_of_rough=jnp.zeros(0, dtype=jnp.int32),
+            row_back=jnp.zeros(0, dtype=jnp.int32),
             degen_partner=jnp.asarray(_degen_partner(mat), dtype=jnp.int32),
             n_rough=0,
             n_rows=1,
@@ -373,9 +378,22 @@ def build_boundary_tables(
     normals = domain.mesh.facet_normals[rough]  # outward
     eta = np.nan_to_num(domain.rough_values)
 
-    # unique (normal, eta) rows
+    # unique (normal, eta) rows. Internal membranes (facet_is_interface) are
+    # collision targets from BOTH sides; their back side needs tables built
+    # for the flipped normal (specularity is sign-invariant, but the
+    # correspondence's incoming-mode domain and the diffuse creation rates
+    # are not). Boundary facets are only ever hit from the front.
+    internal = np.asarray(domain.mesh.facet_is_interface)[rough]
     keys = np.round(np.concatenate([normals, eta[:, None]], axis=1), 10)
-    uniq, row_of_rough = np.unique(keys, axis=0, return_inverse=True)
+    keys_back = np.round(
+        np.concatenate([-normals[internal], eta[internal][:, None]], axis=1), 10
+    )
+    uniq, inv = np.unique(
+        np.concatenate([keys, keys_back], axis=0), axis=0, return_inverse=True
+    )
+    row_of_rough = inv[:NR]
+    row_back = row_of_rough.copy()
+    row_back[internal] = inv[NR:]
     NU = uniq.shape[0]
     u_normals = uniq[:, :3]
     u_eta = uniq[:, 3]
@@ -424,6 +442,7 @@ def build_boundary_tables(
         spec_corr=jnp.asarray(_spec_ext(mat, spec, corr)),
         diff_pa=jnp.asarray(_diff_ext(mat, aprob, aidx)),
         row_of_rough=jnp.asarray(row_of_rough, dtype=jnp.int32),
+        row_back=jnp.asarray(row_back, dtype=jnp.int32),
         degen_partner=jnp.asarray(_degen_partner(mat), dtype=jnp.int32),
         n_rough=NR,
         n_rows=NU,

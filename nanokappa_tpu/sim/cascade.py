@@ -519,9 +519,16 @@ def _event_round(
     # --- rough-wall reflection ---------------------------------------------------
     ref = at_wall & (bc == int(BC.ROUGH))
     i_rough = jnp.clip(geo.facet_rough[cf], 0, btab.row_of_rough.shape[0] - 1)
-    row = (
-        btab.row_of_rough[i_rough] if btab.n_rough > 0 else jnp.zeros_like(i_rough)
-    )
+    if btab.n_rough > 0:
+        # internal membranes are two-sided: a back-side hit (arriving
+        # velocity against the stored facet normal) uses the table row
+        # built for the flipped normal; boundary facets have row_back ==
+        # row_of_rough so the select is free there
+        row = jnp.where(
+            vdn < 0.0, btab.row_back[i_rough], btab.row_of_rough[i_rough]
+        )
+    else:
+        row = jnp.zeros_like(i_rough)
     i32b = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
     # ONE row gather yields the specularity decision AND the correspondence
     # mode's cached omega/velocity (sim/boundary_tables.py _spec_ext)

@@ -62,7 +62,12 @@ def main():
     n_top = int(sys.argv[2]) if len(sys.argv) > 2 else 24
     mesh_pts = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     res_gen = sys.argv[4] if len(sys.argv) > 4 else "constant"
-    run, state = build(n, mesh_pts, n_inner=20, res_gen=res_gen)
+    if res_gen == "wire":  # event-bound nanowire config (profile_step.build_wire)
+        from scripts.profile_step import build_wire
+
+        run, state = build_wire(n, mesh_pts, n_inner=20)
+    else:
+        run, state = build(n, mesh_pts, n_inner=20, res_gen=res_gen)
 
     lowered = run.lower(state)
     compiled = lowered.compile()

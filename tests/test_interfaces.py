@@ -130,3 +130,84 @@ def test_membrane_domain_transport(tmp_path, small_material):
     T = np.asarray(out.T_sv)
     assert T[0] > T[-1]
     assert int(np.asarray(state.lost)) <= n_p * 0.02
+
+
+def test_membrane_two_sided_tables(tmp_path, small_material):
+    """Back-side hits on an internal membrane use tables built for the
+    flipped normal (BoundaryTables.row_back): the diffuse creation support
+    of the front row points INTO the front region (v.n < 0) and the back
+    row into the back region (v.n > 0), so diffuse re-emission never draws
+    a mode directed through the wall (lift of the round-2 one-sidedness,
+    docs/PARITY.md)."""
+    mat = small_material
+    m = membrane_box()
+    path = str(tmp_path / "membrane.stl")
+    stl.save_stl(m, path)
+    dom = build_domain(
+        geometry=path,
+        subvolumes=("slice", 2, 0),
+        bound_pos=("relative", 0.5, 0.5, 0.5),
+        bound_cond=("R", "R"),
+        bound_values=(2.0, 0.0),
+        connect_pos=("relative",),
+    )
+    btab = build_boundary_tables(mat, dom)
+    mem = np.nonzero(dom.mesh.facet_is_interface)[0][0]
+    i_rough = int(np.nonzero(dom.rough_facets == mem)[0][0])
+    row_f = int(np.asarray(btab.row_of_rough)[i_rough])
+    row_b = int(np.asarray(btab.row_back)[i_rough])
+    assert row_f != row_b
+    # boundary facets keep row_back == row_of_rough
+    for i, f in enumerate(dom.rough_facets):
+        if f != mem:
+            assert int(np.asarray(btab.row_back)[i]) == int(
+                np.asarray(btab.row_of_rough)[i]
+            )
+    n = dom.mesh.facet_normals[mem]
+    vdn = np.asarray(mat.group_vel).reshape(-1, 3) @ n
+    cdf = np.asarray(btab.diffuse_cdf)
+    for row, sign in ((row_f, -1.0), (row_b, +1.0)):
+        creation = np.diff(cdf[row], prepend=0.0)
+        support = creation > 1e-12
+        assert support.any()
+        assert np.all(sign * vdn[support] > 0.0)
+
+
+def test_membrane_watertight_diffuse(tmp_path, small_material):
+    """A fully-diffuse internal membrane spanning the whole cross section is
+    watertight from BOTH sides: with no reservoirs the per-side particle
+    counts are exactly conserved (a one-sided table would let back-side
+    diffuse hits re-emit through the wall)."""
+    mat = small_material
+    m = membrane_box()
+    path = str(tmp_path / "membrane.stl")
+    stl.save_stl(m, path)
+    dom = build_domain(
+        geometry=path,
+        subvolumes=("slice", 2, 0),
+        bound_pos=("relative",),
+        bound_cond=("R",),
+        bound_values=(10.0,),  # eta so large every hit is diffuse
+        connect_pos=("relative",),
+    )
+    n_p, rho = particle_count(("total", 4000), mat, dom)
+    params = SimParams(
+        dt=1.0,
+        n_cap=int(n_p * 1.5),
+        inj_cap=1 << 8,
+        evt_cap=1 << 12,  # generous: no frozen-event leftovers near the wall
+        particle_density=rho,
+        n_active_modes=mat.n_active_modes,
+        t_reference=300.0,
+    )
+    geo = build_device_geometry(dom)
+    btab = build_boundary_tables(mat, dom)
+    rtab = build_reservoir_tables(mat, dom, params.dt, rho)
+    state = init_state(mat, dom, geo, params, n_p, temp_dist="mean", seed=7)
+    run = build_step(geo, mat.device_tables(), btab, rtab, params, n_inner=5)
+    state, out0 = run(state)
+    np0 = np.asarray(out0.Np_sv)
+    for _ in range(4):
+        state, out = run(state)
+    assert int(np.asarray(state.frozen)) == 0
+    assert np.array_equal(np.asarray(out.Np_sv), np0)
