@@ -236,7 +236,8 @@ def run_cascade(
     rows = jnp.take(packed, pidx, axis=0, indices_are_sorted=True, mode="clip")
 
     rows_out, ledger, lost, frozen2 = run_event_buffer(
-        rows, vbuf, geo, mat, btab, params, key, state.T_sv, R8, pvary
+        rows, vbuf, geo, mat, btab, params, key, state.T_sv, R8, pvary,
+        evt2_cap=EVT_CAP // 16,  # kinetic buffer: survivors are rare
     )
     buf_alive = rows_out[:, C_ALIVE] > 0.5
     frozen_total = frozen + frozen2 + still_stale.sum(dtype=jnp.int32)
@@ -288,6 +289,8 @@ def run_event_buffer(
     T_sv: jax.Array,
     R8: int,
     pvary=lambda x: x,
+    evt2_cap: int | None = None,  # width of the rounds-2+ narrow buffer;
+    #   None -> E // 4 (the mirror fast path's deep-chain sizing)
 ):
     """The boundary-event machinery on a fixed-width buffer of packed rows.
 
@@ -343,9 +346,15 @@ def run_event_buffer(
     # particles ~900 lanes/step survive round 1 (corner grazers bounce many
     # times per dt), and an undersized buffer freezes them EVERY step,
     # accumulating a standing frozen population. E/4 covers the measured
-    # tail with ~2x headroom; overflow lanes freeze until the next step and
-    # are counted in `frozen`) -------------------------------------------------
-    EVT2 = _pad8(max(E // 4, 512))
+    # tail with ~2x headroom there. On the KINETIC (non-mirror) path E
+    # tracks the wall-collision rate and first-bounce events dominate —
+    # the 1e6-particle nanowire measures 0 round-1 survivors in 16x26.5k
+    # event trials — so callers pass evt2_cap = E//16 (scripts/
+    # wire trace: rounds 2+ at E/4 = 16.9k lanes cost 1.15 ms/step for an
+    # ~empty buffer). Overflow lanes freeze until the next step, are
+    # counted in `frozen`, and the driver's storm adaptation grows
+    # evt_cap (and with it this width) on sustained overflow. ---------------
+    EVT2 = _pad8(max(evt2_cap if evt2_cap is not None else E // 4, 512))
     surv = buf1.alive & (buf1.remaining > _REMAIN_EPS)
     sidx2, n2 = _compact(surv, EVT2)
     frozen2 = surv.sum(dtype=jnp.int32) - n2  # overflow: stay alive, frozen

@@ -91,8 +91,13 @@ def autosize_evt_cap(geo, mat, params, use_mirror: bool, N_shard: int) -> int:
     so the width must track the kinetic wall-collision rate
     rate = A_rough * vbar * dt / (4 V) (collisions per particle per step —
     kinetic theory; thin nanowires reach ~5%/step where the round-3 N/64
-    default silently froze an ever-growing backlog). 2x margin, clamped to
-    [old N/64 floor, N/8]."""
+    default silently froze an ever-growing backlog). 1.5x margin, clamped
+    to [old N/64 floor, N/8]: the kinetic estimate itself measures ~1.27x
+    above the realised steady rate (26.5k events/step vs 33.7k estimated
+    on the 1e6 nanowire), every wide-stage op scales with this width
+    (~2.2 ms/step of the wire's 6.6 at the old 2x), occasional overflow
+    only freezes lanes for one step, and the driver's storm adaptation
+    grows the cap on sustained overflow."""
     import numpy as np
 
     if use_mirror:
@@ -115,7 +120,7 @@ def autosize_evt_cap(geo, mat, params, use_mirror: bool, N_shard: int) -> int:
     v = np.linalg.norm(ov[:, 1:4], axis=1)
     vbar = float(v[act].mean()) if act.any() else float(v.mean())
     rate = rough_area * vbar * float(params.dt) / (4.0 * float(geo.volume))
-    est = int(2.0 * rate * N_shard)
+    est = int(1.5 * rate * N_shard)
     return int(np.clip(est, floor, max(floor, N_shard // 8)))
 
 
@@ -564,7 +569,14 @@ def make_step_v2(
                 pool3_d.reshape(C, N), idx_c, axis=1, mode="clip"
             ).T
         rows_out, mledger, lost2, frozen2 = run_event_buffer(
-            rows, vbuf, geo, mat, btab, params, k_casc, state.T_sv, R8, pvary
+            rows, vbuf, geo, mat, btab, params, k_casc, state.T_sv, R8,
+            pvary,
+            # mirror path: the buffer is ALREADY the deep-chain tail — keep
+            # the E//4 default. Kinetic path: first-bounce events dominate
+            # (0 survivors in 16x26.5k wire trials), so rounds 2+ run at
+            # E//16 width; overflow freezes one step and the driver's storm
+            # adaptation grows evt_cap (and this width with it).
+            evt2_cap=None if use_mirror else EVT_CAP // 16,
         )
 
         # 4. narrow-stage binning of the event rows (their end-of-step
