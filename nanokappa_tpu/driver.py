@@ -81,6 +81,7 @@ def domain_from_args(args) -> Domain:
         bound_cond=tuple(args.bound_cond),
         bound_values=tuple(args.bound_values),
         connect_pos=tuple(args.connect_pos),
+        volume_algo=str(getattr(args, "subvol_volume_algo", ["mc"])[0]),
     )
 
 

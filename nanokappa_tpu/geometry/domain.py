@@ -154,8 +154,11 @@ def build_domain(
     bound_values=(302.0, 298.0, 0.0, 0.0),
     connect_pos=("relative",),
     rng: np.random.Generator | None = None,
+    volume_algo: str = "mc",
 ) -> Domain:
     rng = rng or np.random.default_rng(0)
+    if volume_algo not in ("mc", "qmc"):
+        raise ValueError(f"invalid subvolume volume algorithm '{volume_algo}'")
 
     # ---- mesh ---------------------------------------------------------------
     if geometry.endswith(".stl"):
@@ -256,13 +259,13 @@ def build_domain(
         if geometry in ("box", "cuboid"):
             volumes = np.full(n_sv, mesh.volume / n_sv)
         else:
-            volumes = _mc_subvol_volume(mesh, centers, rng)
+            volumes = _mc_subvol_volume(mesh, centers, rng, algorithm=volume_algo)
     elif sv_type == "grid":
         from nanokappa_tpu.geometry.subvolumes import grid_centers
 
         axis = 0
         centers = grid_centers(mesh, grid)
-        volumes = _mc_subvol_volume(mesh, centers, rng)
+        volumes = _mc_subvol_volume(mesh, centers, rng, algorithm=volume_algo)
         sv_connections = _nearest_connections(centers, mesh)
     elif sv_type == "voronoi":
         from nanokappa_tpu.geometry.subvolumes import lloyd_centers
@@ -270,7 +273,7 @@ def build_domain(
         axis = 0
         n_sv = int(subvolumes[1])
         centers = lloyd_centers(mesh, n_sv, rng)
-        volumes = _mc_subvol_volume(mesh, centers, rng)
+        volumes = _mc_subvol_volume(mesh, centers, rng, algorithm=volume_algo)
         sv_connections = _nearest_connections(centers, mesh)
     else:
         raise ValueError(f"invalid subvolume type '{sv_type}'")

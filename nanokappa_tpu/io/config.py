@@ -62,6 +62,7 @@ def initialise_parser(debug_flag: bool = True) -> argparse.ArgumentParser:
     p.add_argument("--n_shards", "-ns", type=int, nargs=1, default=[0], help=dbg("Particle-axis shards (0 = all local devices)."))
     p.add_argument("--pool_margin", type=float, nargs=1, default=[1.4], help=dbg("Particle pool capacity / target population."))
     p.add_argument("--evt_cap", type=int, nargs=1, default=[0], help=dbg("Boundary-event buffer width (0 = autosize from the kinetic rough-wall collision rate)."))
+    p.add_argument("--subvol_volume_algo", "-sva", type=str, nargs=1, default=["mc"], choices=["mc", "qmc"], help=dbg("Subvolume volume sampling: pseudo-random ('mc', reference default) or scrambled-Sobol ('qmc')."))
     p.add_argument("--seed", type=int, nargs=1, default=[0], help=dbg("PRNG seed."))
     p.add_argument("--profile", type=str, nargs=1, default=[""], help=dbg("Write a jax.profiler trace of one 10-step block to this directory."))
     p.add_argument("--postprocess", type=str, nargs=1, default=[""], help="Rebuild every figure from a finished results folder's files alone, then exit (no simulation).")

@@ -176,6 +176,34 @@ def test_qmc_subvol_volume_matches_mc():
     np.testing.assert_allclose(v_qmc, mesh.volume / 4, rtol=0.05)
 
 
+def test_volume_algo_wired_through_domain_and_cli():
+    """--subvol_volume_algo reaches _mc_subvol_volume (ADVICE round 2: the
+    qmc branch must be selectable, not dead code)."""
+    from nanokappa_tpu.io.config import read_args
+
+    dom = build_domain(
+        geometry="cylinder",
+        dimensions=(2e3, 500.0, 16),
+        subvolumes=("slice", 4, 2),
+        bound_pos=("relative", 0.5, 0.5, -0.1),
+        bound_cond=("T", "R"),
+        bound_values=(300.0, 0.0),
+        connect_pos=("relative",),
+        volume_algo="qmc",
+    )
+    np.testing.assert_allclose(
+        dom.subvol_volume, dom.mesh.volume / 4, rtol=0.05
+    )
+    with pytest.raises(ValueError, match="volume algorithm"):
+        build_domain(geometry="box", volume_algo="nope")
+
+    args = read_args(
+        ["--poscar_file", "p", "--hdf_file", "h",
+         "--subvol_volume_algo", "qmc"]
+    )
+    assert args.subvol_volume_algo == ["qmc"]
+
+
 def test_grid_degenerates_to_slice():
     dom = build_domain(
         geometry="box",
