@@ -63,6 +63,20 @@ class BoundaryTables:
     n_rows: int = field(metadata=dict(static=True))
 
 
+def _host_table(btab, name: str) -> np.ndarray:
+    """Host copy of a BoundaryTables field. build_boundary_tables stashes the
+    NumPy originals on the instance (`_host`) so host-side consumers
+    (mirror_eligible, combined_mirror_rows — both run during init) do not
+    re-pull multi-MB tables from the device; at a 31^3 production table the
+    (NU, M, 8) spec_corr alone is ~11 MB per pull through the remote-device
+    tunnel. Falls back to a device pull for instances that crossed a pytree
+    boundary (flatten drops non-field attributes)."""
+    h = getattr(btab, "_host", None)
+    if h is not None and name in h:
+        return h[name]
+    return np.asarray(getattr(btab, name))
+
+
 def _combine_f32_i32(f: np.ndarray, i: np.ndarray) -> np.ndarray:
     """Stack a float and an int table into (..., 2) f32 rows, the int column
     bitcast so one row gather serves both lookups."""
@@ -234,8 +248,8 @@ def combined_mirror_rows(btab, mat) -> np.ndarray | None:
     the fast path is ineligible). Modes whose map is not an involution
     (mirror(mirror(m)) != m, which the cache swap relies on) fall back to
     corr = -1 (narrow-machinery export)."""
-    sc = np.asarray(btab.spec_corr)  # (NU, M, 8)
-    corr = np.asarray(btab.corr)  # (NU, M)
+    sc = _host_table(btab, "spec_corr")  # (NU, M, 8)
+    corr = _host_table(btab, "corr")  # (NU, M)
     NU, M = corr.shape
     out = sc[0].copy()
     cur = corr[0].copy()
@@ -356,15 +370,15 @@ def build_boundary_tables(
     v, omega, _ = _mode_tables(mat)
 
     if NR == 0:
-        return BoundaryTables(
+        spec0 = np.zeros((1, M))
+        corr0 = np.full((1, M), -1, np.int64)
+        bt = BoundaryTables(
             specularity=jnp.zeros((1, M), dtype=dtype),
             corr=jnp.full((1, M), -1, dtype=jnp.int32),
             diffuse_cdf=jnp.ones((1, M), dtype=dtype),
             diffuse_prob=jnp.ones((1, M), dtype=dtype),
             diffuse_alias=jnp.zeros((1, M), dtype=jnp.int32),
-            spec_corr=jnp.asarray(
-                _spec_ext(mat, np.zeros((1, M)), np.full((1, M), -1, np.int64))
-            ),
+            spec_corr=jnp.asarray(_spec_ext(mat, spec0, corr0)),
             diff_pa=jnp.asarray(
                 _diff_ext(mat, np.ones((1, M)), np.zeros((1, M), np.int64))
             ),
@@ -374,6 +388,12 @@ def build_boundary_tables(
             n_rough=0,
             n_rows=1,
         )
+        object.__setattr__(bt, "_host", {
+            "specularity": spec0.astype(np.float32),
+            "corr": corr0.astype(np.int32),
+            "spec_corr": _spec_ext(mat, spec0, corr0),
+        })
+        return bt
 
     normals = domain.mesh.facet_normals[rough]  # outward
     eta = np.nan_to_num(domain.rough_values)
@@ -433,13 +453,14 @@ def build_boundary_tables(
         cdf[f] = c / c[-1]
         aprob[f], aidx[f] = build_alias(creation)
 
-    return BoundaryTables(
+    spec_ext = _spec_ext(mat, spec, corr)
+    bt = BoundaryTables(
         specularity=jnp.asarray(spec, dtype=dtype),
         corr=jnp.asarray(corr, dtype=jnp.int32),
         diffuse_cdf=jnp.asarray(cdf, dtype=dtype),
         diffuse_prob=jnp.asarray(aprob, dtype=dtype),
         diffuse_alias=jnp.asarray(aidx, dtype=jnp.int32),
-        spec_corr=jnp.asarray(_spec_ext(mat, spec, corr)),
+        spec_corr=jnp.asarray(spec_ext),
         diff_pa=jnp.asarray(_diff_ext(mat, aprob, aidx)),
         row_of_rough=jnp.asarray(row_of_rough, dtype=jnp.int32),
         row_back=jnp.asarray(row_back, dtype=jnp.int32),
@@ -447,3 +468,9 @@ def build_boundary_tables(
         n_rough=NR,
         n_rows=NU,
     )
+    object.__setattr__(bt, "_host", {
+        "specularity": spec.astype(np.float32),
+        "corr": corr.astype(np.int32),
+        "spec_corr": spec_ext,
+    })
+    return bt

@@ -182,8 +182,10 @@ def mirror_eligible(geo: DeviceGeometry, btab, params: SimParams, mat=None) -> b
         return False
     if btab is None or mat is None or int(btab.n_rough) == 0:
         return False
-    spec = np.asarray(btab.specularity)
-    corr = np.asarray(btab.corr)
+    from nanokappa_tpu.sim.boundary_tables import _host_table
+
+    spec = _host_table(btab, "specularity")
+    corr = _host_table(btab, "corr")
     if not np.all((spec == 1.0) | (corr < 0)):  # eta = 0 everywhere
         return False
     rows = combined_mirror_rows(btab, mat)

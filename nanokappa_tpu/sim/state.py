@@ -273,6 +273,20 @@ def particle_count(spec: tuple, mat: Material, domain: Domain) -> tuple[int, flo
     return n_p, n_p / domain.volume
 
 
+def nearest_center_ids(positions: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    """Nearest-subvolume-centre ids, chunked: the broadcast (N, SV, 3)
+    difference tensor at 1e7 particles is gigabytes and dominated init_state's
+    host time; squared distances over 1M-row chunks give the identical argmin
+    in a few hundred MB of working set."""
+    n = positions.shape[0]
+    out = np.empty(n, dtype=np.int64)
+    for s in range(0, n, 1 << 20):
+        blk = positions[s : s + (1 << 20)]
+        d2 = ((blk[:, None, :] - centers[None]) ** 2).sum(axis=-1)
+        out[s : s + (1 << 20)] = np.argmin(d2, axis=1)
+    return out
+
+
 def initial_modes(n_p: int, mat: Material) -> np.ndarray:
     """Tile the active modes cyclically (reference classes/Population.py:127-144)."""
     active = np.nonzero(~mat.inactive_mask.reshape(-1))[0]
@@ -353,10 +367,8 @@ def init_state(
                 # (reference --empty_subvols, classes/Population.py:209-246)
                 empty = np.asarray(list(empty_subvols), dtype=int)
                 for _ in range(100):
-                    d = np.linalg.norm(
-                        positions[:, None, :] - domain.subvol_center[None], axis=-1
-                    )
-                    bad = np.isin(np.argmin(d, axis=1), empty)
+                    ids = nearest_center_ids(positions, domain.subvol_center)
+                    bad = np.isin(ids, empty)
                     if not bad.any():
                         break
                     positions[bad] = domain.mesh.sample_volume(int(bad.sum()), rng)
@@ -378,8 +390,7 @@ def init_state(
     T_sv = initial_subvol_temperatures(temp_dist, domain, subvol_temp)
 
     # particle temperatures = their subvolume's (nearest interp at init)
-    d = np.linalg.norm(positions[:, None, :] - domain.subvol_center[None], axis=-1)
-    sv = np.argmin(d, axis=1)
+    sv = nearest_center_ids(positions, domain.subvol_center)
     T_p = T_sv[sv]
 
     omega_p = mat.omega.reshape(-1)[modes]

@@ -123,3 +123,60 @@ def test_evt_cap_regrow(tmp_path):
     assert np.all(T > 290) and np.all(T < 310)
     Np = int(np.asarray(jax.tree.map(lambda x: x[-1], out1).N_p))
     assert abs(Np - 3000) < 300
+
+
+def test_nearest_center_ids_chunked_matches_direct():
+    """Chunked squared-distance argmin == the direct norm argmin (init_state's
+    subvolume assignment, rewritten chunked for 1e7-particle pools)."""
+    from nanokappa_tpu.sim.state import nearest_center_ids
+
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(-1, 1, size=(5000, 3))
+    centers = rng.uniform(-1, 1, size=(17, 3))
+    d = np.linalg.norm(pos[:, None, :] - centers[None], axis=-1)
+    np.testing.assert_array_equal(
+        nearest_center_ids(pos, centers), np.argmin(d, axis=1)
+    )
+
+
+def test_boundary_tables_host_cache(small_material):
+    """build_boundary_tables stashes NumPy originals so host consumers never
+    pull the multi-MB device tables back through the tunnel; the fallback
+    path (instance without `_host`, e.g. after a pytree round trip) must give
+    identical tables."""
+    import dataclasses
+
+    import jax
+
+    from nanokappa_tpu.sim.boundary_tables import (
+        _host_table, build_boundary_tables, combined_mirror_rows,
+    )
+
+    dom = build_domain(
+        geometry="box",
+        dimensions=(5e3, 1e3, 1e3),
+        subvolumes=("slice", 5, 0),
+        bound_pos=("relative", -0.1, 0.5, 0.5, 1.1, 0.5, 0.5),
+        bound_cond=("T", "T", "R"),
+        bound_values=(302.0, 298.0, 0.0),
+        connect_pos=("relative",),
+    )
+    btab = build_boundary_tables(small_material, dom)
+    assert hasattr(btab, "_host")
+    for name in ("specularity", "corr", "spec_corr"):
+        np.testing.assert_array_equal(
+            _host_table(btab, name), np.asarray(getattr(btab, name))
+        )
+    # pytree round trip drops the stash; fallback must still work
+    leaves, treedef = jax.tree.flatten(btab)
+    bare = jax.tree.unflatten(treedef, leaves)
+    assert not hasattr(bare, "_host")
+    np.testing.assert_array_equal(
+        _host_table(bare, "corr"), _host_table(btab, "corr")
+    )
+    r1 = combined_mirror_rows(btab, small_material)
+    r2 = combined_mirror_rows(bare, small_material)
+    if r1 is None:
+        assert r2 is None
+    else:
+        np.testing.assert_array_equal(r1, r2)
