@@ -70,7 +70,9 @@ from nanokappa_tpu.sim.state import (
     C_TCOLL, STALE,
 )
 
-BN = 16384  # particles per tile; (16, 8, BN8) f32 = 1 MB VMEM
+BN = 32768  # particles per tile; (24, 8, BN8) f32 tile = 3 MB VMEM (A/B-tested
+#   2026-08-20 at 1e7/31^3: 16384 -> 9.9e8, 32768 -> 1.03e9, 65536 -> 1.00e9
+#   updates/s; the larger tile halves the per-tile grid/SMEM bookkeeping)
 BN8 = BN // 8  # lanes per sublane row of the dense tile
 _BIG = 1 << 30
 _SENT = 1 << 29  # sentinel index for padding lanes (>= any real N)
