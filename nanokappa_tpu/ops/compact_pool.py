@@ -126,11 +126,11 @@ def compact_pool(
     C, NR, L = pool3.shape
     N = NR * L
     bn = tile_width(N)
-    assert C in (16, 24) and bn is not None and bn // 8 == L, (C, NR, L)
+    assert C in (16, 18, 24) and bn is not None and bn // 8 == L, (C, NR, L)
     nb = N // bn
     use_mirror = mirror3 is not None
-    # a 24-row pool already carries the mirror inside itself
-    assert not (use_mirror and C == 24)
+    # an 18/24-row pool already carries the (slim) mirror inside itself
+    assert not (use_mirror and C in (18, 24))
 
     alive_row = pool3[C_ALIVE] > 0.5  # (NR, L)
     acnt = jnp.sum(

@@ -281,6 +281,68 @@ def combined_mirror_rows(btab, mat) -> np.ndarray | None:
     return out
 
 
+_SLIM_CACHE: dict = {}
+
+
+def slim_mirror_axis(geo, btab, mat) -> int | None:
+    """Flip axis for the SLIM mirror cache, or None if ineligible.
+
+    The full in-kernel mirror cache stores the correspondence partner's
+    (mode, omega, vel, tau-slope) per lane — 8 pool rows. For
+    symmetry-expanded dispersions on axis-aligned walls, the velocity-model
+    correspondence (classes/Population.py:1241-1454) lands on the exact
+    crystal-symmetry mirror mode, whose DEVICE-table properties are
+    bitwise redundant: omega' == omega, tau'(T) == tau(T), v' == v with the
+    wall-axis component sign-flipped. The slim cache then carries only the
+    partner mode id (+ the main tau slope), shrinking the pool to 18 rows —
+    25% less mega-kernel HBM traffic — with bit-identical step semantics.
+
+    Eligibility (checked on the f32 tables the kernel actually consumes):
+      * every rough facet normal is +-e_a for ONE shared axis a (the
+        in-register reflection v[a] = -v[a] is then exact in f32),
+      * a combined correspondence map exists (one plane family, involution),
+      * for every mapped mode: omega bitwise equal, velocity bitwise equal
+        to the a-flip, and the full tau_pair table bitwise equal."""
+    from nanokappa_tpu.geometry.domain import BC
+
+    bc = np.asarray(geo.facet_bc)
+    normals = np.asarray(geo.facet_normal)[bc == int(BC.ROUGH)]
+    if len(normals) == 0:
+        return None
+    nz = np.abs(normals) > 1e-12
+    if not (nz.sum(axis=1) == 1).all():
+        return None
+    axes = np.argmax(nz, axis=1)
+    if not (axes == axes[0]).all():
+        return None
+    a = int(axes[0])
+    if not np.all(np.abs(normals[np.arange(len(normals)), axes]) == 1.0):
+        return None
+
+    key = (id(btab), id(mat), a)
+    if key in _SLIM_CACHE:
+        return _SLIM_CACHE[key]
+    rows = combined_mirror_rows(btab, mat)
+    ok: int | None = None
+    if rows is not None:
+        dev = mat if hasattr(mat, "omega_vel") else mat.device_tables()
+        ov = np.asarray(dev.omega_vel)  # (M, 4) f32
+        tp = np.asarray(dev.tau_pair)  # (nTP, M, 2) f32
+        corr = rows[:, 1].view(np.int32)
+        m = np.nonzero(corr >= 0)[0]
+        c = corr[m]
+        vf = ov[m, 1:4].copy()
+        vf[:, a] = -vf[:, a]
+        if (
+            np.array_equal(ov[c, 0], ov[m, 0])
+            and np.array_equal(ov[c, 1:4], vf)
+            and np.array_equal(tp[:, c], tp[:, m])
+        ):
+            ok = a
+    _SLIM_CACHE[key] = ok
+    return ok
+
+
 def build_alias(weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Walker alias tables for O(1) categorical sampling on device: draw
     j ~ Uniform(M), u ~ U(0,1); sample = j if u < prob[j] else alias[j].

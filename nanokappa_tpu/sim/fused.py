@@ -358,6 +358,13 @@ def make_step_v2(
 
     interpret = jax.default_backend() == "cpu" or FORCE_INTERPRET
     use_mirror = mirror_eligible(geo, btab, params, mat)
+    # SLIM mirror cache (18-row combined pool): partner mode id + main tau
+    # slope only — exact when the correspondence is the crystal-symmetry
+    # mirror on one axis-aligned wall family (boundary_tables.slim_mirror_axis)
+    from nanokappa_tpu.sim.boundary_tables import slim_mirror_axis
+
+    slim_axis = slim_mirror_axis(geo, btab, mat) if use_mirror else None
+    slim = slim_axis is not None
     # slope-form lifetime clamp range (one host sync at build time)
     import numpy as _np
 
@@ -376,15 +383,19 @@ def make_step_v2(
 
         _sc = _np.asarray(combined_mirror_rows(btab, mat))  # (M, 8)
         _ip = _np.asarray(rtab.inj_props)  # (R, M, 5)
+        # slim cache: only the corr column is needed (the partner's
+        # omega/vel/tau are bitwise redundant under the slim gate)
+        _w = 2 if slim else 6
         _ext = _np.concatenate(
             [
                 _ip,
                 _np.broadcast_to(
-                    _sc[None, :, 1:6], (_ip.shape[0], _sc.shape[0], 5)
+                    _sc[None, :, 1:_w],
+                    (_ip.shape[0], _sc.shape[0], _w - 1),
                 ),
             ],
             axis=-1,
-        )  # (R, M, 10)
+        )  # (R, M, 10) full / (R, M, 6) slim
         rtab = dataclasses.replace(rtab, inj_props=jnp.asarray(_ext))
 
     if axis_name is None:
@@ -419,15 +430,22 @@ def make_step_v2(
         # On the mirror fast path the pool rides COMBINED: (24, NR, L)
         # with the specular-mirror cache as rows 16..23 — one block spec,
         # one append window, one compaction stream for both halves.
-        CW = 24 if use_mirror else 16
+        CW = 18 if slim else (24 if use_mirror else 16)
         plain_layout = state.packed.ndim == 2
         if plain_layout:
             N = state.packed.shape[0]
             L = tile_width(N) // 8
             pool3 = state.packed.T.reshape(16, N // L, L)
             if use_mirror:
+                from nanokappa_tpu.sim.state import X_MODE, X_TAUB
+
+                mside = (
+                    state.mirror[:, (X_MODE, X_TAUB)]
+                    if slim
+                    else state.mirror
+                )
                 pool3 = jnp.concatenate(
-                    [pool3, state.mirror.T.reshape(8, N // L, L)], axis=0
+                    [pool3, mside.T.reshape(CW - 16, N // L, L)], axis=0
                 )
                 mirror3 = None
             else:
@@ -491,17 +509,29 @@ def make_step_v2(
                 # already gathered by sample_injections (no extra gather)
                 from nanokappa_tpu.sim.state import C_MODE, _bc_i32
 
-                corr_inj = _bc_i32(inj_props[:, 5])
                 mode_inj = jnp.clip(
                     _bc_i32(inj_rows[:, C_MODE]), 0, mat.tau.shape[1] - 1
                 )
                 sv_inj = subvol_id(geo, inj_rows[:, C_POS])
-                mrows_inj, tau_a_inj = _mirror_assemble(
-                    mat, mode_inj, corr_inj, inj_props[:, 6],
-                    inj_props[:, 7:10], sv_inj, state.T_sv,
-                )
-                # slope form: C_TAU carries the intercept (X_TAUB the slope)
-                inj_rows = inj_rows.at[:, C_TAU].set(tau_a_inj)
+                if slim:
+                    from nanokappa_tpu.sim.scatter import slope_pair
+
+                    a_inj, b_inj = slope_pair(
+                        mat, state.T_sv, sv_inj, mode_inj
+                    )
+                    inj_rows = inj_rows.at[:, C_TAU].set(a_inj)
+                    mrows_inj = jnp.stack(
+                        [inj_props[:, 5], b_inj], axis=1
+                    )  # [corr bits, shared slope b]
+                else:
+                    corr_inj = _bc_i32(inj_props[:, 5])
+                    mrows_inj, tau_a_inj = _mirror_assemble(
+                        mat, mode_inj, corr_inj, inj_props[:, 6],
+                        inj_props[:, 7:10], sv_inj, state.T_sv,
+                    )
+                    # slope form: C_TAU carries the intercept (X_TAUB the
+                    # slope)
+                    inj_rows = inj_rows.at[:, C_TAU].set(tau_a_inj)
                 # combined pool: ONE window appends particle + mirror rows
                 inj_rows = jnp.concatenate([inj_rows, mrows_inj], axis=1)
             pool3, ok = _append_window(pool3, inj_rows.T, valid_inj, tail)
@@ -612,14 +642,35 @@ def make_step_v2(
         # (~0.17 ms/step at N=1.25e6)
         rows_out = rows_out.at[:, C_SV].set(_bc_f32(sv_e))
         if use_mirror:
-            mrows_out, tau_a_e = _mirror_rows(
-                btab, mat, rows_out, state.T_sv, geo, params, sv=sv_e,
-            )
-            # slope form: replace the narrow machinery's full-tau values
-            # with the intercepts of the lanes' (possibly new) modes
-            rows_out = rows_out.at[:, C_TAU].set(
-                jnp.where(alive_e, tau_a_e, rows_out[:, C_TAU])
-            )
+            if slim:
+                from nanokappa_tpu.sim.boundary_tables import (
+                    combined_mirror_rows as _cmr,
+                )
+                from nanokappa_tpu.sim.scatter import slope_pair
+                from nanokappa_tpu.sim.state import C_MODE, _bc_i32
+
+                import numpy as _np2
+
+                mtab1 = jnp.asarray(_np2.asarray(_cmr(btab, mat))[:, 1])
+                M = mat.tau.shape[1]
+                mode_e = jnp.clip(
+                    _bc_i32(rows_out[:, C_MODE]), 0, M - 1
+                )
+                a_e, b_e = slope_pair(mat, state.T_sv, sv_e, mode_e)
+                rows_out = rows_out.at[:, C_TAU].set(
+                    jnp.where(alive_e, a_e, rows_out[:, C_TAU])
+                )
+                mrows_out = jnp.stack([mtab1[mode_e], b_e], axis=1)
+            else:
+                mrows_out, tau_a_e = _mirror_rows(
+                    btab, mat, rows_out, state.T_sv, geo, params, sv=sv_e,
+                )
+                # slope form: replace the narrow machinery's full-tau
+                # values with the intercepts of the lanes' (possibly new)
+                # modes
+                rows_out = rows_out.at[:, C_TAU].set(
+                    jnp.where(alive_e, tau_a_e, rows_out[:, C_TAU])
+                )
             # combined pool: ONE window appends particle + mirror rows
             rows_out = jnp.concatenate([rows_out, mrows_out], axis=1)
         pool3_m, ok_app = _append_window(
@@ -656,9 +707,12 @@ def make_step_v2(
         if plain_layout:
             flat = pool3_m.reshape(C, N)
             packed_out = flat[:16].T
-            mirror_out = (
-                flat[16:24].T if use_mirror else state.mirror
-            )
+            if slim:
+                mirror_out = _expand_slim_mirror(flat, slim_axis)
+            elif use_mirror:
+                mirror_out = flat[16:24].T
+            else:
+                mirror_out = state.mirror
         else:
             packed_out = pool3_m
             # combined layout: the mirror cache lives inside packed; the
@@ -700,7 +754,35 @@ def make_step_v2(
     return step
 
 
-def to_transposed(state: SimState, combined: bool = False) -> SimState:
+def _expand_slim_mirror(flat: jax.Array, flip_axis: int) -> jax.Array:
+    """(18, N) combined-SLIM flat pool -> the full (N, 8) mirror cache.
+
+    Exact under the slim gate (boundary_tables.slim_mirror_axis): the
+    partner's omega/tau-intercept bits EQUAL the main mode's, its velocity
+    is the main velocity with the wall-axis component sign-flipped, and its
+    slope b_m equals b. Zero-filled where no correspondence, matching
+    _mirror_assemble's conventions (X_TAUB = b unconditionally)."""
+    from nanokappa_tpu.sim.state import C_OMEGA, C_TAU, _bc_i32
+
+    m_mode_b = flat[16]
+    tau_b = flat[17]
+    has = _bc_i32(m_mode_b) >= 0
+    cols = [
+        m_mode_b,  # X_MODE
+        jnp.where(has, flat[C_OMEGA], 0.0),  # X_OMEGA
+        jnp.where(has, jnp.where(flip_axis == 0, -flat[3], flat[3]), 0.0),
+        jnp.where(has, jnp.where(flip_axis == 1, -flat[4], flat[4]), 0.0),
+        jnp.where(has, jnp.where(flip_axis == 2, -flat[5], flat[5]), 0.0),
+        jnp.where(has, flat[C_TAU], 0.0),  # X_TAU: a_m == a bitwise
+        tau_b,  # X_TAUB
+        jnp.where(has, tau_b, 0.0),  # X_MTAUB: b_m == b bitwise
+    ]
+    return jnp.stack(cols, axis=1)
+
+
+def to_transposed(
+    state: SimState, combined: bool = False, slim: bool = False
+) -> SimState:
     """Enter the v2 scan convention: state.packed (and the mirror cache) ->
     the kernel-native 3-D layout (lane p of attribute c at
     [c, p // L, p % L]). One layout-conversion copy per run() boundary
@@ -709,12 +791,30 @@ def to_transposed(state: SimState, combined: bool = False) -> SimState:
     With `combined` (the mirror fast path) the mirror cache concatenates
     into the SAME (24, NR, L) array as rows 16..23 — one block spec, one
     append window, one compaction stream per step — and the mirror leaf
-    carries a zero-size placeholder through the scan."""
+    carries a zero-size placeholder through the scan. With `slim`
+    (boundary_tables.slim_mirror_axis) only the partner mode id and the
+    main tau slope ride along as rows 16..17 of an (18, NR, L) pool; the
+    full cache is reconstructed exactly on exit (from_transposed)."""
     from nanokappa_tpu.ops.megastep import tile_width
+    from nanokappa_tpu.sim.state import X_MODE, X_TAUB
 
     N = state.packed.shape[0]
     L = tile_width(N) // 8
     packed = state.packed.T.reshape(16, N // L, L)
+    if slim:
+        return dataclasses.replace(
+            state,
+            packed=jnp.concatenate(
+                [
+                    packed,
+                    state.mirror[:, (X_MODE, X_TAUB)].T.reshape(
+                        2, N // L, L
+                    ),
+                ],
+                axis=0,
+            ),
+            mirror=jnp.zeros((0,), jnp.float32),
+        )
     if combined:
         return dataclasses.replace(
             state,
@@ -730,11 +830,20 @@ def to_transposed(state: SimState, combined: bool = False) -> SimState:
     )
 
 
-def from_transposed(state: SimState) -> SimState:
+def from_transposed(state: SimState, flip_axis: int | None = None) -> SimState:
     """Leave the v2 scan convention: state.packed -> (N, 16) (+ (N, 8)
-    mirror, split back out of the combined layout when present)."""
+    mirror, split back out of the combined layout when present; the SLIM
+    combined layout (C = 18) reconstructs the full cache exactly via
+    _expand_slim_mirror — pass the slim gate's `flip_axis`)."""
     C, NR, L = state.packed.shape
     flat = state.packed.reshape(C, NR * L)
+    if C == 18:
+        assert flip_axis is not None
+        return dataclasses.replace(
+            state,
+            packed=flat[:16].T,
+            mirror=_expand_slim_mirror(flat, flip_axis),
+        )
     if C == 24:
         return dataclasses.replace(
             state, packed=flat[:16].T, mirror=flat[16:24].T
@@ -769,6 +878,16 @@ def refresh_tau_T(
     mode = _bc_i32(pT[C_MODE])
     alive = pT[C_ALIVE] > 0.5
     sv = subvol_id(geo, pos)
+    if use_mirror and C == 18:
+        # SLIM combined pool: the partner's pair bits equal the main
+        # mode's (slim_mirror_axis gate), so one slope_pair refresh of the
+        # main mode serves both; row 17 is the shared slope b
+        a, b = slope_pair(
+            mat, stateT.T_sv, sv, jnp.clip(mode, 0, mat.tau.shape[1] - 1)
+        )
+        pT = pT.at[C_TAU].set(jnp.where(alive, a, pT[C_TAU]))
+        pT = pT.at[17].set(jnp.where(alive, b, pT[17]))
+        return dataclasses.replace(stateT, packed=pT.reshape(C, NR, L))
     if use_mirror:
         # slope form: refresh (a, b) of main + mirror modes. The mirror
         # cache rides as rows 16..23 of the combined pool.

@@ -278,6 +278,9 @@ def make_v2_block_runner(
 
     interp = jax.default_backend() == "cpu" or _fused.FORCE_INTERPRET
     use_mirror = mirror_eligible(geo, btab, params, mat)
+    from nanokappa_tpu.sim.boundary_tables import slim_mirror_axis
+
+    slim_axis = slim_mirror_axis(geo, btab, mat) if use_mirror else None
 
     # Tail-room invariant: each step appends up to EVT_CAP + inj_cap rows
     # at the pool tail (event re-entry + injections, sim/fused.py) and
@@ -338,7 +341,9 @@ def make_v2_block_runner(
         return stateT, last
 
     def run_blocks(state: SimState):
-        stateT = to_transposed(state, combined=use_mirror)
+        stateT = to_transposed(
+            state, combined=use_mirror, slim=slim_axis is not None
+        )
         # ONE unconditional compaction at run entry: it establishes the
         # tail-pointer semantics of free_count[0] (init_state spreads
         # particles across the whole pool and leaves free_count as a
@@ -349,7 +354,7 @@ def make_v2_block_runner(
             stateT, out = block(stateT)
         else:
             stateT, out = jax.lax.scan(block, stateT, length=n_outer)
-        state = from_transposed(stateT)
+        state = from_transposed(stateT, flip_axis=slim_axis)
         # host-side figure/postprocess consumers read sv via state.sv_col
         # directly (the sv_id leaf is carried but stale on the v2 path —
         # refreshing it every run cost a full (N,) slice+store per boundary)
