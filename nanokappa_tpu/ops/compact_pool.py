@@ -48,7 +48,7 @@ from nanokappa_tpu.sim.state import C_ALIVE
 
 
 def _kernel(starts_ref, in_ref, *rest, cfg):
-    C = cfg["C"]
+    C, Cp = cfg["C"], cfg["Cp"]
     if cfg["use_mirror"]:
         mir_ref, out_hbm, mout_hbm, scratch, mscratch, sem = rest
     else:
@@ -86,9 +86,14 @@ def _kernel(starts_ref, in_ref, *rest, cfg):
     # + overrun) become DEAD zero rows
     lane_flat = jax.lax.broadcasted_iota(jnp.int32, (1, BN), 1)
     keep = lane_flat < count
+    # pad to Cp rows: the flat-output DMA below slices the FULL leading dim,
+    # which Mosaic requires to be a sublane-tiling (8) multiple — 18-row slim
+    # pools ship as 24-row windows with 6 zero filler rows (BENCH_r03 crash)
     rows = jnp.concatenate(
-        [jnp.where(keep, _unflat8(v), 0.0) for v in vals[:C]], axis=0
-    )  # (C, BN)
+        [jnp.where(keep, _unflat8(v), 0.0) for v in vals[:C]]
+        + [jnp.zeros((Cp - C, BN), jnp.float32)] * (Cp > C),
+        axis=0,
+    )  # (Cp, BN)
     scratch[:, :] = rows
     off = starts_ref[b]
     cp = pltpu.make_async_copy(
@@ -127,6 +132,7 @@ def compact_pool(
     N = NR * L
     bn = tile_width(N)
     assert C in (16, 18, 24) and bn is not None and bn // 8 == L, (C, NR, L)
+    Cp = ((C + 7) // 8) * 8  # sublane-aligned row count for the flat DMA
     nb = N // bn
     use_mirror = mirror3 is not None
     # an 18/24-row pool already carries the (slim) mirror inside itself
@@ -148,8 +154,8 @@ def compact_pool(
         ),
     ]
     out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
-    out_shape = [jax.ShapeDtypeStruct((C, N), jnp.float32)]
-    scratch = [pltpu.VMEM((C, bn), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((Cp, N), jnp.float32)]
+    scratch = [pltpu.VMEM((Cp, bn), jnp.float32)]
     operands = [starts, pool3]
     if use_mirror:
         in_specs.append(
@@ -176,7 +182,7 @@ def compact_pool(
         scratch_shapes=scratch,
     )
     outs = pl.pallas_call(
-        partial(_kernel, cfg={"use_mirror": use_mirror, "C": C}),
+        partial(_kernel, cfg={"use_mirror": use_mirror, "C": C, "Cp": Cp}),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -184,7 +190,7 @@ def compact_pool(
         ),
         interpret=interpret,
     )(*operands)
-    out = outs[0]
+    out = outs[0][:C] if Cp > C else outs[0]
     mout = outs[1] if use_mirror else None
 
     # stale pre-compaction data survives past the last written window; kill

@@ -281,9 +281,6 @@ def combined_mirror_rows(btab, mat) -> np.ndarray | None:
     return out
 
 
-_SLIM_CACHE: dict = {}
-
-
 def slim_mirror_axis(geo, btab, mat) -> int | None:
     """Flip axis for the SLIM mirror cache, or None if ineligible.
 
@@ -319,9 +316,17 @@ def slim_mirror_axis(geo, btab, mat) -> int | None:
     if not np.all(np.abs(normals[np.arange(len(normals)), axes]) == 1.0):
         return None
 
-    key = (id(btab), id(mat), a)
-    if key in _SLIM_CACHE:
-        return _SLIM_CACHE[key]
+    # eligibility is cached ON the btab instance (like the `_host` stash):
+    # a btab is built for exactly one material (build_boundary_tables(mat,
+    # dom)), so keying by flip axis alone is sound, and an instance stash —
+    # unlike a module dict keyed on id() — can never alias a different
+    # table set after garbage collection, nor grow unboundedly
+    cache = getattr(btab, "_slim_axis", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(btab, "_slim_axis", cache)
+    if a in cache:
+        return cache[a]
     rows = combined_mirror_rows(btab, mat)
     ok: int | None = None
     if rows is not None:
@@ -339,7 +344,7 @@ def slim_mirror_axis(geo, btab, mat) -> int | None:
             and np.array_equal(tp[:, c], tp[:, m])
         ):
             ok = a
-    _SLIM_CACHE[key] = ok
+    cache[a] = ok
     return ok
 
 

@@ -164,6 +164,46 @@ def test_v2_mirror_specular_matches_v1():
     assert pos[:, 1].min() >= -1e-3 and pos[:, 1].max() <= 1e3 + 1e-3
 
 
+def test_v2_full_mirror_matches_v1(monkeypatch):
+    """Pin the FULL (24-row) mirror-cache path. The eta = 0 film config is
+    slim-eligible, so test_v2_mirror_specular_matches_v1 exercises only the
+    18-row layout; forcing slim_mirror_axis to None keeps the full-path
+    kernel branches (_mirror_assemble/_mirror_rows, 24-row else-branch swap)
+    covered by a v1 parity check too."""
+    import nanokappa_tpu.sim.boundary_tables as bt
+
+    monkeypatch.setattr(bt, "slim_mirror_axis", lambda *a, **k: None)
+    s1, o1, _ = _run("v1", bound="TTRRP", rough=0.0)
+    s2, o2, _ = _run("v2", bound="TTRRP", rough=0.0)
+    for k, (a, b) in enumerate(zip(o1, o2)):
+        np.testing.assert_allclose(
+            np.asarray(a.T_sv), np.asarray(b.T_sv), rtol=1e-4,
+            err_msg=f"T_sv step {k}")
+        np.testing.assert_allclose(
+            np.asarray(a.Np_sv), np.asarray(b.Np_sv), atol=3,
+            err_msg=f"Np_sv step {k}")
+        assert int(b.lost) == 0
+
+
+def test_slim_axis_cache_no_cross_material_alias():
+    """Two different (btab, mat) pairs must never share a slim-eligibility
+    verdict: the cache lives on the btab instance (a module dict keyed on
+    id() aliased after GC — ADVICE r3)."""
+    from nanokappa_tpu.sim.boundary_tables import slim_mirror_axis
+
+    mat_a, dom, geo, btab_a, _rt, _pp, _st = _build(bound="TTRRP", rough=0.0)
+    # build a second, distinct material/btab pair for the same domain
+    mat_b = synthetic_material(mesh=(5, 5, 5))
+    btab_b = build_boundary_tables(mat_b, dom)
+    ax_a = slim_mirror_axis(geo, btab_a, mat_a)
+    ax_b = slim_mirror_axis(geo, btab_b, mat_b)
+    # both verdicts computed independently and stashed per-instance
+    assert getattr(btab_a, "_slim_axis") is not getattr(btab_b, "_slim_axis")
+    # verdicts are stable on re-query (cache hit) and not cross-wired
+    assert slim_mirror_axis(geo, btab_a, mat_a) == ax_a
+    assert slim_mirror_axis(geo, btab_b, mat_b) == ax_b
+
+
 def test_v2_runner_conserves_population():
     """The build_step runner (scan harness: entry compaction + tail-pressure
     compaction cadence) must keep the population balanced from a FRESH
@@ -184,13 +224,23 @@ def test_v2_runner_conserves_population():
     assert abs(int(out.N_p) - n0) < 0.05 * n0, (int(out.N_p), n0)
 
 
-@pytest.mark.parametrize("subvols", [("grid", 2, 2, 2), ("voronoi", 6)])
+@pytest.mark.parametrize(
+    "subvols",
+    [
+        ("grid", 2, 2, 2),
+        ("voronoi", 6),
+        # beyond the 32-centre unroll budget: the fori_loop SMEM-table
+        # argmin + chunked one-hot binning path (ops/megastep.py)
+        ("grid", 4, 4, 5),
+    ],
+)
 def test_v2_nearest_subvolumes_match_v1(subvols):
     """Box domains with grid/voronoi subvolumes now ride the fused step
-    (kernel nearest-centre argmin, unrolled over the static centre table).
-    On the deterministic TTP config the v1 and v2 trajectories coincide
-    particle-for-particle; subvolume observables must agree to f32 noise
-    (cell-border ulp ties may bin a particle differently)."""
+    (kernel nearest-centre argmin: unrolled static table up to 32 centres,
+    SMEM fori_loop beyond). On the deterministic TTP config the v1 and v2
+    trajectories coincide particle-for-particle; subvolume observables must
+    agree to f32 noise (cell-border ulp ties may bin a particle
+    differently)."""
     mat = synthetic_material(mesh=(4, 4, 4))
     dom = build_domain(
         geometry="box", dimensions=(2e3, 1e3, 1e3), subvolumes=subvols,
