@@ -48,7 +48,21 @@ CONV_BATCH = 10  # datapoints per host sync (device-batched convergence)
 
 def material_from_args(args) -> Material:
     """Load the material exactly as the driver does (shared with the offline
-    postprocess entry)."""
+    postprocess entry).
+
+    Multi-material runs are rejected loudly instead of silently using
+    material 0: the reference ships the same path as dead code ("this
+    snippet is useless at the current state",
+    /root/reference/nanokappa.py:74-87), so parity is a clear error, not a
+    half-wired feature."""
+    sv_mat = [str(x) for x in getattr(args, "subvol_material", []) or []]
+    if len(set(sv_mat)) > 1 or len(args.mat_folder) > 1:
+        raise SystemExit(
+            "ERROR: multi-material simulations (--subvol_material with "
+            "distinct indices / multiple --mat_folder entries) are not "
+            "supported — the reference's multi-material path is dead code "
+            "too (nanokappa.py:74-87). Run one material per simulation."
+        )
     rotation = None
     if len(args.mat_rotation) >= 4:
         rotation = (
@@ -308,9 +322,19 @@ class Simulation:
                 n_inner=N_DT_TO_CONV, n_outer=CONV_BATCH,
             )
         self._run_tail = None
+        is_v2 = v2_eligible(self.geo, self.params)
+        if not is_v2:
+            from nanokappa_tpu.sim.fused import v2_fallback_reason
+
+            reason = v2_fallback_reason(self.geo, self.params)
+            print(
+                f"NOTE: running the v1 XLA step (~10x slower than the "
+                f"fused kernel path): {reason}",
+                flush=True,
+            )
         self._finalize = (
             make_finalize(self.geo, self.mtab, self.params, btab=self.btab)
-            if v2_eligible(self.geo, self.params)
+            if is_v2
             else (lambda s: s)
         )
 
@@ -340,6 +364,7 @@ class Simulation:
         row = dict(T=T, E=E, phi=phi, Np=Np, eb=eb, hf=hf,
                    total_energy=float(out.total_energy),
                    N_p=int(out.N_p), lost=int(out.lost),
+                   lost_split=np.asarray(out.lost_split, dtype=int).reshape(-1),
                    frozen=int(out.frozen))
         if dom.subvol_type == "slice":
             ksv, ktot = kappa_slice(
@@ -515,6 +540,31 @@ class Simulation:
                             f"evt_cap {cur}) — rerun with a larger evt_cap",
                             flush=True,
                         )
+                # lost-particle telemetry: name the mechanism whenever the
+                # population actually loses lanes (silent loss was round-3
+                # weak point 9 — a too-small pool or a defective geometry
+                # only showed up as a slow N_p decay)
+                if last_row is not None and "lost_split" in last_row:
+                    ls_now = last_row["lost_split"]
+                    d_lost = ls_now - getattr(
+                        self, "_lost_prev", np.zeros_like(ls_now)
+                    )
+                    self._lost_prev = ls_now.copy()
+                    for d, name, hint in zip(
+                        d_lost,
+                        ("capacity drops (injection clip / pool full)",
+                         "k_max-stuck quarantined lanes",
+                         "defective lanes (ray cast found no boundary)"),
+                        ("increase --particles margin or pool capacity",
+                         "increase k_max (deep reflection chains)",
+                         "check the geometry for open seams"),
+                    ):
+                        if d > 0:
+                            print(
+                                f"WARNING: lost {int(d)} particles in the "
+                                f"last 100 steps to {name} — {hint}",
+                                flush=True,
+                            )
                 # escape self-healing, sharded or not: the check is pure
                 # elementwise jnp over the particle axis, so jit propagates
                 # the state's "p" shardings through it (reference heals

@@ -202,9 +202,10 @@ def build_ensemble_step(
     )
 
     def run_local(state: SimState):
-        # per-replica scalars arrive as (1,) views of the stacked axis
+        # per-replica scalars arrive as (1,)/(1,3) views of the stacked axis
         state = dataclasses.replace(
-            state, lost=state.lost.reshape(()), frozen=state.frozen.reshape(()),
+            state, lost=state.lost.reshape((3,)),
+            frozen=state.frozen.reshape(()),
             step=state.step.reshape(()),
         )
         state = maybe_refresh_tau(state, geo, mat, params)

@@ -235,7 +235,7 @@ def run_cascade(
     # where 0 * NaN poisons every segment's flux columns
     rows = jnp.take(packed, pidx, axis=0, indices_are_sorted=True, mode="clip")
 
-    rows_out, ledger, lost, frozen2 = run_event_buffer(
+    rows_out, ledger, lost_stuck, lost_def, frozen2 = run_event_buffer(
         rows, vbuf, geo, mat, btab, params, key, state.T_sv, R8, pvary,
         evt2_cap=EVT_CAP // 16,  # kinetic buffer: survivors are rare
     )
@@ -270,7 +270,9 @@ def run_cascade(
         n_leaving=ledger[:R, 4].astype(jnp.int32),
         res_energy_balance=state.res_energy_balance - ledger[:R, 0],
         res_heat_flux=state.res_heat_flux + ledger[:R, 1:4],
-        lost=state.lost + psum(lost),
+        lost=state.lost + psum(jnp.stack(
+            [jnp.zeros((), jnp.int32), lost_stuck, lost_def]
+        )),
         frozen=state.frozen + psum(frozen_total),
         key=state.key,
         step=state.step,
@@ -302,7 +304,8 @@ def run_event_buffer(
     classes/Population.py:1546-1683).
 
     Returns (rows_out (E,16) with C_ALIVE updated, ledger (R8,5),
-    lost (stuck + defective), frozen (narrow-buffer overflow)).
+    lost_stuck (quarantined after k_max rounds), lost_defective (ray cast
+    found no boundary), frozen (narrow-buffer overflow)).
     """
     from nanokappa_tpu.sim.state import (
         C_ALIVE, C_CF, C_DEV, C_MODE, C_OMEGA, C_ONF, C_POS, C_REM, C_SV,
@@ -435,7 +438,8 @@ def run_event_buffer(
     # classes/Population.py:1553,1572)
     stuck2 = out2.alive & (out2.remaining > _REMAIN_EPS)
     alive2 = out2.alive & ~stuck2
-    lost = out2.lost + stuck2.sum(dtype=jnp.int32)
+    lost_stuck = stuck2.sum(dtype=jnp.int32)
+    lost_defective = out2.lost  # _Buf.lost accumulates defective lanes only
     rows2 = jnp.concatenate(
         [
             out2.pos,
@@ -459,7 +463,7 @@ def run_event_buffer(
     rows_out = rows_out.at[sidx2].set(
         rows2, mode="drop", indices_are_sorted=True, unique_indices=True
     )
-    return rows_out, out2.ledger, lost, frozen2
+    return rows_out, out2.ledger, lost_stuck, lost_defective, frozen2
 
 
 def _event_round(

@@ -130,12 +130,12 @@ def v2_eligible(geo: DeviceGeometry, params: SimParams) -> bool:
     TRI_KERNEL_MAX triangles — every built-in primitive (cylinder, zigzag,
     corrugated, castle, star, freewire at default tessellation) and small
     imported STLs — via a statically-unrolled in-kernel Möller–Trumbore
-    cast; slice subvolumes (nearest/linear interpolation) or grid/voronoi
-    subvolumes (nearest interpolation, <= 32 centres — the kernel's
-    nearest-centre argmin unrolls over the static centre table), and a pool
-    capacity aligned to the kernel tile (the driver and bench round n_cap
-    up). Everything else (large STL, radial RBF interpolation, debug
-    ablations) runs the v1 step."""
+    cast; slice subvolumes (nearest/linear interpolation, <= 512) or
+    grid/voronoi subvolumes (nearest interpolation, <= 256 centres — the
+    kernel's argmin unrolls up to 32 centres and walks the SMEM centre
+    table in a fori_loop beyond), and a pool capacity aligned to the kernel
+    tile (the driver and bench round n_cap up). Everything else (very large
+    STL, radial RBF interpolation, debug ablations) runs the v1 step."""
     from nanokappa_tpu.ops.megastep import tile_width
 
     if params.step_impl == "v1" or params.debug_skip:
@@ -145,10 +145,13 @@ def v2_eligible(geo: DeviceGeometry, params: SimParams) -> bool:
     if geo.subvol_type == "slice":
         if params.temp_interp not in ("nearest", "linear"):
             return False
-        if geo.n_subvols > 64:
+        if geo.n_subvols > 512:
             return False
     elif geo.subvol_type in ("grid", "voronoi"):
-        if params.temp_interp != "nearest" or geo.n_subvols > 32:
+        # beyond the 32-centre unroll budget the kernel argmin walks the
+        # SMEM centre table in a fori_loop (ops/megastep.py _sv_of); the
+        # remaining cap bounds the O(SV) per-lane loop cost
+        if params.temp_interp != "nearest" or geo.n_subvols > 256:
             return False
     else:
         return False
@@ -162,6 +165,54 @@ def v2_eligible(geo: DeviceGeometry, params: SimParams) -> bool:
     if params.step_impl == "v2":
         return True
     return jax.default_backend() != "cpu"
+
+
+def v2_fallback_reason(geo: DeviceGeometry, params: SimParams) -> str | None:
+    """Why this configuration runs the v1 XLA step, or None when the fused
+    v2 step is active. The driver logs the reason at startup — a silent ~10x
+    performance cliff was round-3 weak point 6."""
+    from nanokappa_tpu.ops.megastep import tile_width
+
+    if v2_eligible(geo, params):
+        return None
+    if params.step_impl == "v1":
+        return "step_impl='v1' was requested"
+    if params.debug_skip:
+        return f"debug_skip={params.debug_skip!r} ablation is active"
+    F = int(geo.tri_origin.shape[0])
+    if not geo.is_box and F > TRI_KERNEL_MAX:
+        return (
+            f"mesh has {F} triangles > the in-kernel cast budget "
+            f"TRI_KERNEL_MAX={TRI_KERNEL_MAX}"
+        )
+    if geo.subvol_type == "slice":
+        if params.temp_interp not in ("nearest", "linear"):
+            return f"temp_interp={params.temp_interp!r} needs the XLA path"
+        if geo.n_subvols > 512:
+            return f"{geo.n_subvols} slice subvolumes > the kernel cap 512"
+    elif geo.subvol_type in ("grid", "voronoi"):
+        if params.temp_interp != "nearest":
+            return (
+                f"temp_interp={params.temp_interp!r} on "
+                f"{geo.subvol_type} subvolumes needs the XLA path"
+            )
+        if geo.n_subvols > 256:
+            return (
+                f"{geo.n_subvols} {geo.subvol_type} centres > the kernel "
+                f"cap 256"
+            )
+    else:
+        return f"subvolume type {geo.subvol_type!r} needs the XLA path"
+    if geo.n_reservoirs > 7:
+        return f"{geo.n_reservoirs} reservoirs > the kernel cap 7"
+    if params.n_cap % params.n_shards != 0 or tile_width(
+        params.n_cap // params.n_shards
+    ) is None:
+        return (
+            f"pool capacity {params.n_cap}/{params.n_shards} shards does "
+            f"not align to a kernel tile (ops/megastep.py tile_width)"
+        )
+    return "no TPU backend attached (v1 XLA runs on CPU)"
 
 
 def mirror_eligible(geo: DeviceGeometry, btab, params: SimParams, mat=None) -> bool:
@@ -296,13 +347,16 @@ def _mirror_assemble(mat, mode, corr, m_omega, m_vel, sv, T_sv):
     i = i_sv[jnp.clip(sv, 0, T_sv.shape[0] - 1)]
     T_lo = mat.tau_T[i]
     dT = mat.tau_T[jnp.minimum(i + 1, nT - 1)] - T_lo
-    inv = jnp.where(dT > 0, 1.0 / jnp.maximum(dT, 1e-30), 0.0)
+    # division form, NOT multiply-by-reciprocal: must match scatter.py
+    # slope_pair bit-for-bit so slim- and full-path caches agree exactly
+    dTc = jnp.maximum(dT, 1e-30)
+    ok_dT = dT > 0
     tp2 = mat.tau_pair.reshape(-1, 2)
     pair = tp2[i * M + jnp.clip(mode, 0, M - 1)]
     pair_m = tp2[i * M + corr_c]
-    tau_b = (pair[:, 1] - pair[:, 0]) * inv
+    tau_b = jnp.where(ok_dT, (pair[:, 1] - pair[:, 0]) / dTc, 0.0)
     tau_a = pair[:, 0] - tau_b * T_lo
-    m_b = (pair_m[:, 1] - pair_m[:, 0]) * inv
+    m_b = jnp.where(ok_dT, (pair_m[:, 1] - pair_m[:, 0]) / dTc, 0.0)
     m_a = pair_m[:, 0] - m_b * T_lo
     mrows = jnp.concatenate(
         [
@@ -600,7 +654,7 @@ def make_step_v2(
             rows = jnp.take(
                 pool3_d.reshape(C, N), idx_c, axis=1, mode="clip"
             ).T
-        rows_out, mledger, lost2, frozen2 = run_event_buffer(
+        rows_out, mledger, lost_stuck, lost_def, frozen2 = run_event_buffer(
             rows, vbuf, geo, mat, btab, params, k_casc, state.T_sv, R8,
             pvary,
             # mirror path: the buffer is ALREADY the deep-chain tail — keep
@@ -731,7 +785,9 @@ def make_step_v2(
             n_leaving=ledger[:R, 4].astype(jnp.int32),
             res_energy_balance=state.res_energy_balance - ledger[:R, 0],
             res_heat_flux=state.res_heat_flux + ledger[:R, 1:4],
-            lost=state.lost + psum(lost_inj + lost2 + lost3),
+            lost=state.lost + psum(jnp.stack(
+                [lost_inj + lost3, lost_stuck, lost_def]
+            )),
             frozen=state.frozen + psum(frozen_k + frozen2),
             key=state.key,
             step=state.step + 1,
@@ -746,7 +802,8 @@ def make_step_v2(
             res_energy_balance=new_state.res_energy_balance,
             res_heat_flux=new_state.res_heat_flux,
             n_leaving=new_state.n_leaving,
-            lost=new_state.lost,
+            lost=new_state.lost.sum(),
+            lost_split=new_state.lost,
             frozen=new_state.frozen,
         )
         return new_state, outputs

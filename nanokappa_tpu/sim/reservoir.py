@@ -448,7 +448,10 @@ def inject(
         inj_rows, mode="drop", unique_indices=True
     )
 
-    lost = state.lost + psum(dropped_inj + jnp.maximum(n_valid - n_used, 0))
+    # capacity drops land in lost[0] (generator clip + free-list exhaustion)
+    lost = state.lost.at[0].add(
+        psum(dropped_inj + jnp.maximum(n_valid - n_used, 0))
+    )
 
     new_state = SimState(
         packed=packed,

@@ -156,8 +156,11 @@ class SimState:
     n_leaving: jax.Array  # (R,) i32 absorbed count (for 'one_to_one')
     res_energy_balance: jax.Array  # (R,) f32 ledger (reset every n_dt_to_conv)
     res_heat_flux: jax.Array  # (R,3) f32 ledger
-    lost: jax.Array  # () i32 particles LOST from the population: quarantined
-    #   defective lanes, k_max-stuck lanes, dropped injections
+    lost: jax.Array  # (3,) i32 particles LOST from the population, split by
+    #   mechanism so the driver can name the culprit when any grows:
+    #   [0] capacity drops (clipped injections + append-window tail drops),
+    #   [1] k_max-stuck lanes quarantined after the cascade round budget,
+    #   [2] defective lanes (ray cast found no boundary)
     frozen: jax.Array  # () i32 frozen-but-alive telemetry: event-buffer
     #   overflow lanes and stale-raycast lanes whose event was postponed one
     #   step (the population is intact; a storm here means evt_cap too small)
@@ -505,7 +508,7 @@ def init_state(
         n_leaving=jnp.zeros(R, dtype=jnp.int32),
         res_energy_balance=jnp.zeros(R, dtype=jnp.float32),
         res_heat_flux=jnp.zeros((R, 3), dtype=jnp.float32),
-        lost=jnp.zeros((), dtype=jnp.int32),
+        lost=jnp.zeros((3,), dtype=jnp.int32),
         frozen=jnp.zeros((), dtype=jnp.int32),
         key=jax.random.PRNGKey(seed),
         step=jnp.zeros((), dtype=jnp.int32),

@@ -48,7 +48,9 @@ class StepOutputs:
     res_energy_balance: jax.Array  # (R,) raw ledger (eV)
     res_heat_flux: jax.Array  # (R,3) raw ledger
     n_leaving: jax.Array  # (R,)
-    lost: jax.Array  # () dead/quarantined particles (cumulative)
+    lost: jax.Array  # () dead/quarantined particles (cumulative, total)
+    lost_split: jax.Array  # (3,) cumulative loss by mechanism:
+    #   [capacity drops, k_max-stuck quarantine, defective ray cast]
     frozen: jax.Array  # () frozen-but-alive postponed events (cumulative)
 
 
@@ -177,7 +179,8 @@ def make_step(
             res_energy_balance=new_state.res_energy_balance,
             res_heat_flux=new_state.res_heat_flux,
             n_leaving=new_state.n_leaving,
-            lost=new_state.lost,
+            lost=new_state.lost.sum(),
+            lost_split=new_state.lost,
             frozen=new_state.frozen,
         )
         return new_state, outputs
@@ -197,8 +200,8 @@ def _mk(state, dev, sv, T_sv_new, np_sv, E_sv, phi, energies, psum):
         total_energy=psum(energies.sum()),
         res_energy_balance=new_state.res_energy_balance,
         res_heat_flux=new_state.res_heat_flux,
-        n_leaving=new_state.n_leaving, lost=new_state.lost,
-        frozen=new_state.frozen,
+        n_leaving=new_state.n_leaving, lost=new_state.lost.sum(),
+        lost_split=new_state.lost, frozen=new_state.frozen,
     )
     return new_state, outputs
 

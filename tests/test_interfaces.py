@@ -129,7 +129,7 @@ def test_membrane_domain_transport(tmp_path, small_material):
     # temperature profile still relaxes monotonically hot -> cold
     T = np.asarray(out.T_sv)
     assert T[0] > T[-1]
-    assert int(np.asarray(state.lost)) <= n_p * 0.02
+    assert int(np.asarray(state.lost).sum()) <= n_p * 0.02
 
 
 def test_membrane_two_sided_tables(tmp_path, small_material):
