@@ -9,8 +9,11 @@ classes/Population.py:797-830). Three paths, chosen statically per geometry:
   2. small meshes (F <= UNROLL_MAX): the triangle loop is unrolled into (N,)
      vector ops with a running minimum — keeps the lane dimension full
      instead of wasting a (N, F~12) minor axis,
-  3. large meshes: broadcast (N, F) Moller-Trumbore (Pallas kernel with
-     bounding-box prefilter is the planned successor for imported STL).
+  3. large meshes on TPU: the Pallas chunked plane-solve kernel with a
+     per-chunk bounding-box prefilter (ops/raycast_pallas.py — the
+     reference prefilters by bbox too, classes/Mesh.py:828-831),
+  4. large meshes on CPU / beyond the kernel's chunk cap: broadcast (N, F)
+     Moller-Trumbore, scanned in 256-triangle chunks.
 
 Returns (t_hit in ps [inf if none], facet id [-1 if none]).
 """
@@ -44,6 +47,13 @@ def raycast(
         return _raycast_box(geo, pos, vel, exclude_facet)
     if geo.tri_origin.shape[0] <= UNROLL_MAX:
         return _raycast_unrolled(geo, pos, vel, exclude_facet)
+    if geo.tri_origin.shape[0] > _CHUNK_F and jax.default_backend() != "cpu":
+        from nanokappa_tpu.ops.raycast_pallas import (
+            pallas_eligible, raycast_pallas,
+        )
+
+        if pallas_eligible(geo):
+            return raycast_pallas(geo, pos, vel, exclude_facet)
     return _raycast_broadcast(geo, pos, vel, exclude_facet)
 
 

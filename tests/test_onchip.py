@@ -92,6 +92,41 @@ def test_v2_mirror_specular_on_chip():
     assert pos[:, 1].min() >= -1e-3 and pos[:, 1].max() <= 1e3 + 1e-3
 
 
+def test_pallas_raycast_large_mesh_on_chip():
+    """Mosaic-compiled bbox-prefiltered large-mesh cast
+    (ops/raycast_pallas.py) vs the XLA broadcast path on a 384-triangle
+    cylinder: same data as the CPU interpret-mode parity test, but here the
+    scalar-prefetch SMEM AABB table, the HBM chunk DMA and the skip
+    control flow run on real hardware."""
+    from tests.test_raycast_large import _wire_geo
+    from nanokappa_tpu.ops import raycast as rc
+    from nanokappa_tpu.ops.raycast_pallas import (
+        pallas_eligible, raycast_pallas,
+    )
+
+    dom, geo = _wire_geo(96)
+    assert pallas_eligible(geo)
+    rng = np.random.default_rng(11)
+    n = 50_000
+    lo, hi = np.asarray(dom.mesh.bounds)
+    pos = rng.uniform(lo + 1.0, hi - 1.0, (n, 3))
+    r = np.linalg.norm(pos[:, :2] - dom.mesh.center_mass[:2], axis=1)
+    pos[r > 350.0, :2] = dom.mesh.center_mass[:2]
+    vel = rng.normal(0, 40.0, (n, 3))
+    pos32, vel32 = jnp.asarray(pos, jnp.float32), jnp.asarray(vel, jnp.float32)
+    excl = jnp.full(n, -1, jnp.int32)
+
+    t_ref, f_ref = rc._raycast_broadcast(geo, pos32, vel32, excl)
+    t_pal, f_pal = raycast_pallas(geo, pos32, vel32, excl)
+    t_ref, f_ref = np.asarray(t_ref), np.asarray(f_ref)
+    t_pal, f_pal = np.asarray(t_pal), np.asarray(f_pal)
+    agree = f_ref == f_pal
+    assert agree.mean() > 0.995
+    both = np.isfinite(t_ref) & np.isfinite(t_pal) & agree
+    np.testing.assert_allclose(t_pal[both], t_ref[both], rtol=2e-4, atol=1e-4)
+    assert np.isfinite(t_pal).all()
+
+
 def test_v2_triangle_cast_on_chip():
     """Mosaic-compiled non-box fused step: cylinder nanowire with an
     unrolled in-kernel Möller–Trumbore cast (ops/megastep.py _tri_raycast).
