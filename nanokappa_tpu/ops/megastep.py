@@ -78,8 +78,28 @@ _BIG = 1 << 30
 _SENT = 1 << 29  # sentinel index for padding lanes (>= any real N)
 _REMAIN_EPS = 1e-5
 _T_BACK_DT = -1e-4  # ops/raycast.py:33, in ps
+_UNROLL_SV = 32  # centre count up to which the nearest-centre argmin
+#   unrolls with immediate constants; beyond it a fori_loop walks the SMEM
+#   centre table (tsv rows 1-3), keeping kernel code size O(1) in SV
+_UNROLL_T = 64  # same budget for the per-lane T_sv gather select chains
+_BIN_CHUNK = 64  # subvolume slab width of the one-hot binning matmul
 
 SH = (8, BN8)  # the dense per-attribute register shape at full tile width
+
+
+def _gather_tsv(tsv_ref, sv, SV, sh):
+    """Per-lane T_sv[sv] gather from the SMEM table: a static select chain
+    up to _UNROLL_T subvolumes, a fori_loop beyond."""
+    if SV <= _UNROLL_T:
+        T = jnp.zeros(sh, jnp.float32)
+        for s in range(SV):
+            T = jnp.where(sv == s, tsv_ref[0, s], T)
+        return T
+    return jax.lax.fori_loop(
+        0, SV,
+        lambda s, T: jnp.where(sv == s, tsv_ref[0, s], T),
+        jnp.zeros(sh, jnp.float32),
+    )
 
 
 def tile_width(n: int) -> int | None:
@@ -268,7 +288,9 @@ def _tri_raycast(pos, vel, exclude, tables, do):
 
 
 def _kernel(
-    tsv_ref,  # (1, SVP) f32 SMEM subvolume temperatures (padded)
+    tsv_ref,  # (4, SVP) f32 SMEM: row 0 subvolume temperatures, rows 1-3
+    #   subvolume centre x/y/z (padded; centres feed the beyond-unroll
+    #   nearest-centre argmin loop)
     rta_ref,  # (1, 1) i32 SMEM: apply deferred RTA this step?
     in_ref,  # (C, 8, BN8) packed tile (a block of the (C, NR, L) pool);
     #   C = 24 on the mirror fast path — the specular-mirror cache rides as
@@ -377,20 +399,43 @@ def _kernel(
                 0, SVn - 1,
             )
         # nearest centre: d2 = |c|^2 - 2 q.c (same algebra as the XLA
-        # classifier; first-minimum tie-break like argmin)
-        cx, cy, cz = cfg["centers"][0]
-        best = jnp.zeros(qx.shape, jnp.int32)
-        bd = (cx * cx + cy * cy + cz * cz) - 2.0 * (
-            qx * cx + qy * cy + qz * cz
-        )
-        for si in range(1, SVn):
-            cx, cy, cz = cfg["centers"][si]
+        # classifier; first-minimum tie-break like argmin). Small tables
+        # unroll with immediate constants; big ones run a fori_loop over
+        # the SMEM centre table (tsv_ref rows 1-3) so kernel code size
+        # stays O(1) in the centre count
+        if SVn <= _UNROLL_SV:
+            cx, cy, cz = cfg["centers"][0]
+            best = jnp.zeros(qx.shape, jnp.int32)
+            bd = (cx * cx + cy * cy + cz * cz) - 2.0 * (
+                qx * cx + qy * cy + qz * cz
+            )
+            for si in range(1, SVn):
+                cx, cy, cz = cfg["centers"][si]
+                d = (cx * cx + cy * cy + cz * cz) - 2.0 * (
+                    qx * cx + qy * cy + qz * cz
+                )
+                take = d < bd
+                best = jnp.where(take, si, best)
+                bd = jnp.where(take, d, bd)
+            return best
+
+        def _cbody(si, carry):
+            best, bd = carry
+            cx, cy, cz = tsv_ref[1, si], tsv_ref[2, si], tsv_ref[3, si]
             d = (cx * cx + cy * cy + cz * cz) - 2.0 * (
                 qx * cx + qy * cy + qz * cz
             )
             take = d < bd
-            best = jnp.where(take, si, best)
-            bd = jnp.where(take, d, bd)
+            return jnp.where(take, si, best), jnp.where(take, d, bd)
+
+        best, _ = jax.lax.fori_loop(
+            0, SVn,
+            _cbody,
+            (
+                jnp.zeros(qx.shape, jnp.int32),
+                jnp.full(qx.shape, jnp.inf, f32),
+            ),
+        )
         return best
 
     sv = _sv_of(px, py, pz)
@@ -415,17 +460,28 @@ def _kernel(
         ilo = jnp.clip(fpos.astype(jnp.int32), 0, SV - 2)
         ilo = jnp.where(fpos < 0, 0, ilo)
         w = fpos - ilo.astype(f32)
-        T_lo = jnp.zeros(SH, f32)
-        T_hi = jnp.zeros(SH, f32)
-        for s in range(SV):
-            tv = tsv_ref[0, s]
-            T_lo = jnp.where(ilo == s, tv, T_lo)
-            T_hi = jnp.where(ilo + 1 == s, tv, T_hi)
+        if SV <= _UNROLL_T:
+            T_lo = jnp.zeros(SH, f32)
+            T_hi = jnp.zeros(SH, f32)
+            for s in range(SV):
+                tv = tsv_ref[0, s]
+                T_lo = jnp.where(ilo == s, tv, T_lo)
+                T_hi = jnp.where(ilo + 1 == s, tv, T_hi)
+        else:
+            def _tbody(s, carry):
+                lo, hi = carry
+                tv = tsv_ref[0, s]
+                return (
+                    jnp.where(ilo == s, tv, lo),
+                    jnp.where(ilo + 1 == s, tv, hi),
+                )
+
+            T_lo, T_hi = jax.lax.fori_loop(
+                0, SV, _tbody, (jnp.zeros(SH, f32), jnp.zeros(SH, f32))
+            )
         T_p = T_lo * (1.0 - w) + T_hi * w
     else:  # nearest
-        T_p = jnp.zeros(SH, f32)
-        for s in range(SV):
-            T_p = jnp.where(sv_c == s, tsv_ref[0, s], T_p)
+        T_p = _gather_tsv(tsv_ref, sv_c, SV, SH)
 
     g = occupation_delta_T_k(T_p, t_ref, omega)
     if cfg["use_mirror"]:
@@ -684,15 +740,10 @@ def _kernel(
     # (classes/Population.py:707), positions are post-drift.
     sv = _sv_of(px, py, pz)
     SV8 = cfg["sv8"]
-    T_b = jnp.zeros(SH, jnp.float32)
-    for s in range(SVn):
-        T_b = jnp.where(sv == s, tsv_ref[0, s], T_b)
+    T_b = _gather_tsv(tsv_ref, sv, SVn, SH)
     dn_b = dev - occupation_delta_T_k(T_b, t_ref, omega)
     e_b = jnp.where(alive, cfg["hbar"] * omega * dn_b, 0.0)
     sv_row = _unflat8(jnp.where(alive, sv, SV8))  # SV8 -> matches no row
-    oh_b = (
-        sv_row == jax.lax.broadcasted_iota(jnp.int32, (SV8, BN), 0)
-    ).astype(f32)
     vals_b = jnp.concatenate(
         [
             _unflat8(e_b),
@@ -703,14 +754,22 @@ def _kernel(
         ],
         axis=0,
     )  # (5, BN)
-    sums_b = jax.lax.dot_general(
-        oh_b, vals_b, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (SV8, 5)
-    bacc_ref[:, :] = bacc_ref[:, :] + jnp.concatenate(
-        [sums_b, jnp.zeros((SV8, 128 - 5), jnp.float32)], axis=1
-    )
+    # one-hot MXU segment reduction, chunked in 64-subvol slabs so the
+    # (slab, BN) one-hot stays <= 64*BN*4 B of VMEM at any subvolume count
+    for s0 in range(0, SV8, _BIN_CHUNK):
+        sc = min(_BIN_CHUNK, SV8 - s0)
+        oh_b = (
+            sv_row - s0
+            == jax.lax.broadcasted_iota(jnp.int32, (sc, BN), 0)
+        ).astype(f32)
+        sums_b = jax.lax.dot_general(
+            oh_b, vals_b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (sc, 5)
+        bacc_ref[s0:s0 + sc, :] = bacc_ref[s0:s0 + sc, :] + jnp.concatenate(
+            [sums_b, jnp.zeros((sc, 128 - 5), jnp.float32)], axis=1
+        )
 
     # ---- 6. write the drifted tile (per-attribute 2-D stores) --------------
     for c, v in enumerate(
@@ -893,9 +952,11 @@ def drift_megastep(
         # without it the extra facet-select pass isn't worth it
         u_rounds=2 if use_mirror else 1,
         sv_mode="slice" if geo.subvol_type == "slice" else "nearest",
+        # immediate-constant centres only inside the unroll budget; bigger
+        # tables ride the SMEM tsv rows 1-3 instead
         centers=tuple(
             (float(c[0]), float(c[1]), float(c[2])) for c in center
-        ),
+        ) if SV <= _UNROLL_SV else (),
         n_reservoirs=int(geo.n_reservoirs),
         hbar=HBAR,
         bn=bn,
@@ -923,7 +984,13 @@ def drift_megastep(
         cfg["flip_axis"] = fa
 
     SVP = max(128, -(-SV // 128) * 128)
-    tsv = jnp.zeros((1, SVP), jnp.float32).at[0, :SV].set(T_sv)
+    # row 0: subvolume temperatures; rows 1-3: centre coordinates (read by
+    # the fori_loop nearest-centre argmin when SV exceeds the unroll budget)
+    tsv = (
+        jnp.zeros((4, SVP), jnp.float32)
+        .at[0, :SV].set(T_sv)
+        .at[1:4, :SV].set(jnp.asarray(center.T, jnp.float32))
+    )
     rta = jnp.asarray(rta_on, jnp.int32).reshape(1, 1)
     if ecap <= 0:
         ecap = max(2048, -(-(N // 64) // 128) * 128)
