@@ -8,10 +8,19 @@ Baseline: the reference (brunohs1993/Nanokappa) sustains ~1.7e5
 particle-timestep updates/s single-thread (BASELINE.md: 10 timesteps of 1e5
 particles per ~5.9 s on the author's machine).
 
+Failure isolation (round-3 lesson: one Mosaic compile failure zeroed the
+round's whole perf record): every config runs inside `measure`, which
+ (a) retries with the v1 XLA step when the fused v2 path fails to compile,
+ (b) on total failure prints a comment line and lets the remaining configs
+     run, and
+ (c) guarantees the headline slot re-prints the best earlier film line if
+     the 1e7 config cannot run, so the driver always records SOME verified
+     number and the process exits 0.
+
 Wall-clock budget: the mode-table/boundary-table/geometry build is
-n_p-independent, so it is built ONCE per mesh size and shared across the
-configs that use it (the 31^3 boundary tables alone cost ~1 min of host
-work); the bench stays well inside a 10-minute window with a warm
+n_p-independent, so it is built ONCE per (mesh size, domain) and shared
+across the configs that use it (the 31^3 boundary tables alone cost ~1 min
+of host work); the bench stays well inside a 10-minute window with a warm
 compilation cache.
 """
 
@@ -20,11 +29,12 @@ from __future__ import annotations
 import json
 import sys
 import time
+import traceback
 
 BASELINE_UPDATES_PER_S = 1.7e5
 
 
-def build_ctx(mesh_pts: int):
+def build_ctx(mesh_pts: int, mat=None):
     """Population-independent context: material + domain + device geometry +
     boundary tables (all O(modes), none O(particles))."""
     from nanokappa_tpu.material import synthetic_material
@@ -32,7 +42,8 @@ def build_ctx(mesh_pts: int):
     from nanokappa_tpu.geometry.device import build_device_geometry
     from nanokappa_tpu.sim.boundary_tables import build_boundary_tables
 
-    mat = synthetic_material(mesh=(mesh_pts, mesh_pts, mesh_pts))
+    if mat is None:
+        mat = synthetic_material(mesh=(mesh_pts, mesh_pts, mesh_pts))
     dom = build_domain(
         geometry="box",
         dimensions=(5e3, 1e3, 1e3),
@@ -50,7 +61,35 @@ def build_ctx(mesh_pts: int):
     return mat, dom, geo, btab
 
 
-def run_config(ctx, n_particles: float, res_gen: str):
+def build_wire_ctx(mat):
+    """Event-BOUND context: 8-sided cylinder nanowire, diffuse (eta > 0)
+    side walls, axial slice subvolumes — every wall hit rides the narrow
+    event machinery, so this line tracks cascade/boundary regressions the
+    film (specular fast path) cannot see."""
+    from nanokappa_tpu.geometry.domain import build_domain
+    from nanokappa_tpu.geometry.device import build_device_geometry
+    from nanokappa_tpu.sim.boundary_tables import build_boundary_tables
+
+    dom = build_domain(
+        geometry="cylinder",
+        dimensions=(4e3, 500.0, 8),
+        subvolumes=("slice", 5, 2),
+        bound_pos=(
+            "relative",
+            0.5, 0.5, -0.1,
+            0.5, 0.5, 1.1,
+            1.1, 0.5, 0.5,
+        ),
+        bound_cond=("T", "T", "R", "R"),
+        bound_values=(305.0, 295.0, 2.0, 2.0),
+        connect_pos=("relative",),
+    )
+    geo = build_device_geometry(dom)
+    btab = build_boundary_tables(mat, dom)
+    return mat, dom, geo, btab
+
+
+def run_config(ctx, n_particles: float, res_gen: str, step_impl: str = "auto"):
     """One benchmark run; returns (updates_per_s, n_modes)."""
     import numpy as np
     import jax
@@ -76,6 +115,7 @@ def run_config(ctx, n_particles: float, res_gen: str):
         particle_density=rho,
         n_active_modes=mat.n_active_modes,
         t_reference=300.0,
+        step_impl=step_impl,
     )
     state = init_state(
         mat, dom, geo, params, n_p, temp_dist="linear", btab=btab
@@ -102,6 +142,48 @@ def run_config(ctx, n_particles: float, res_gen: str):
     return n_runs * 100 * n_alive / elapsed, mat.n_modes
 
 
+def emit(metric: str, ups: float):
+    print(json.dumps({
+        "metric": metric,
+        "value": ups,
+        "unit": "updates/s",
+        "vs_baseline": ups / BASELINE_UPDATES_PER_S,
+    }), flush=True)
+
+
+def measure(ctx, n_particles: float, res_gen: str, metric: str,
+            emit_line: bool = True):
+    """Failure-isolated measurement: v2 (auto) twice (remote-compile tunnels
+    throw transient INTERNAL errors — observed round 4: 'response body
+    closed before all bytes were read'), then one v1 retry on any failure
+    (a Pallas/Mosaic compile error must degrade, not abort — the round-3
+    BENCH record was empty because config 1 died). Returns
+    (ups, metric_actually_emitted) or (None, None)."""
+    for attempt in (1, 2):
+        try:
+            ups, _ = run_config(ctx, n_particles, res_gen, "auto")
+            if emit_line:
+                emit(metric, ups)
+            return ups, metric
+        except Exception as e:  # noqa: BLE001
+            print(f"# {metric}: fused path attempt {attempt} failed "
+                  f"({type(e).__name__}: {str(e).splitlines()[0][:160]}); "
+                  f"{'retrying fused' if attempt == 1 else 'retrying with the v1 XLA step'}",
+                  flush=True)
+            traceback.print_exc(file=sys.stderr)
+    try:
+        ups, _ = run_config(ctx, n_particles, res_gen, "v1")
+        metric_v1 = metric + " [v1 fallback]"
+        if emit_line:
+            emit(metric_v1, ups)
+        return ups, metric_v1
+    except Exception as e:  # noqa: BLE001
+        print(f"# {metric}: v1 fallback ALSO failed ({type(e).__name__}); "
+              f"skipping this config", flush=True)
+        traceback.print_exc(file=sys.stderr)
+        return None, None
+
+
 def main():
     from nanokappa_tpu.utils import enable_compilation_cache
 
@@ -112,67 +194,54 @@ def main():
 
     if mesh_pts:  # explicit single config
         ups, n_modes = run_config(build_ctx(mesh_pts), n_particles, "constant")
-        print(json.dumps({
-            "metric": f"phonon-timestep updates/sec/chip ({n_particles:.0e} "
-                      f"particles, {n_modes} modes)",
-            "value": ups,
-            "unit": "updates/s",
-            "vs_baseline": ups / BASELINE_UPDATES_PER_S,
-        }))
+        emit(
+            f"phonon-timestep updates/sec/chip ({n_particles:.0e} "
+            f"particles, {n_modes} modes)", ups,
+        )
         return
 
     # small-table config first (round-1 continuity line) ...
-    ups8, _ = run_config(build_ctx(8), n_particles, "constant")
-    print(json.dumps({
-        "metric": "phonon-timestep updates/sec/chip (1e6 particles, "
-                  "Si-film-analog, 8^3 table)",
-        "value": ups8,
-        "unit": "updates/s",
-        "vs_baseline": ups8 / BASELINE_UPDATES_PER_S,
-    }), flush=True)
+    measure(
+        build_ctx(8), n_particles, "constant",
+        "phonon-timestep updates/sec/chip (1e6 particles, Si-film-analog, "
+        "8^3 table)",
+    )
     # ... the production-table line at 1e6 particles (round-2/3 continuity):
     # the reference Si sample's full 31^3 mesh = 178,746 modes
     # (classes/Phonon.py:115-139), with the O(buffer) 'pooled' reservoir
     # generation scheme sized for production mode tables.
     ctx31 = build_ctx(31)
-    ups31, n_modes = run_config(ctx31, n_particles, "pooled")
-    print(json.dumps({
-        "metric": f"phonon-timestep updates/sec/chip (1e6 particles, "
-                  f"production 31^3 table = {n_modes} modes, pooled gen)",
-        "value": ups31,
-        "unit": "updates/s",
-        "vs_baseline": ups31 / BASELINE_UPDATES_PER_S,
-    }), flush=True)
+    n_modes = ctx31[0].n_modes
+    ups31, metric31 = measure(
+        ctx31, n_particles, "pooled",
+        f"phonon-timestep updates/sec/chip (1e6 particles, production 31^3 "
+        f"table = {n_modes} modes, pooled gen)",
+    )
+    # ... the event-bound line: the 8-side nanowire with diffuse walls at
+    # 1e6 (README 'Performance') — tracks the cascade/narrow machinery the
+    # specular film never exercises. Shares the 31^3 material tables.
+    measure(
+        build_wire_ctx(ctx31[0]), n_particles, "constant",
+        f"phonon-timestep updates/sec/chip (1e6 particles, 8-side nanowire, "
+        f"diffuse walls, 31^3 table = {n_modes} modes)",
+    )
     # ... and the HEADLINE (last line = the one the driver records): the
     # production 31^3 table at 1e7 particles, where the per-step fixed
     # overheads (narrow event machinery, injection pipeline, host dispatch)
     # amortise over 10x the population — the regime a production chip
     # actually runs (BASELINE config 5 is 1e8 across chips; pool+tables =
     # ~1.5 GB of the chip's 16 GB HBM at 1e7/chip). The chip is a shared
-    # pool: a failed large-pool allocation must not abort the bench, so
-    # this config degrades to re-printing the 1e6 headline.
-    try:
-        ups1e7p, _ = run_config(ctx31, 1e7, "pooled")
-        print(json.dumps({
-            "metric": f"phonon-timestep updates/sec/chip (1e7 particles, "
-                      f"production 31^3 table = {n_modes} modes, pooled "
-                      f"gen)",
-            "value": ups1e7p,
-            "unit": "updates/s",
-            "vs_baseline": ups1e7p / BASELINE_UPDATES_PER_S,
-        }))
-    except Exception as e:  # noqa: BLE001 — fall back to the 1e6 headline
-        print(f"# 1e7/31^3 line skipped ({type(e).__name__}); "
-              f"re-printing the 1e6 production line as the headline",
-              flush=True)
-        print(json.dumps({
-            "metric": f"phonon-timestep updates/sec/chip (1e6 particles, "
-                      f"production 31^3 table = {n_modes} modes, pooled "
-                      f"gen)",
-            "value": ups31,
-            "unit": "updates/s",
-            "vs_baseline": ups31 / BASELINE_UPDATES_PER_S,
-        }))
+    # pool: any failure here (OOM, compile) degrades to re-printing the 1e6
+    # production line so the LAST line is always a real number.
+    ups1e7, _ = measure(
+        ctx31, 1e7, "pooled",
+        f"phonon-timestep updates/sec/chip (1e7 particles, production 31^3 "
+        f"table = {n_modes} modes, pooled gen)",
+    )
+    if ups1e7 is None and ups31 is not None:
+        print("# 1e7/31^3 line failed; re-printing the 1e6 production line "
+              "as the headline", flush=True)
+        emit(metric31, ups31)
 
 
 if __name__ == "__main__":
