@@ -89,6 +89,37 @@ def build_wire_ctx(mat):
     return mat, dom, geo, btab
 
 
+def build_bigmesh_ctx(mat):
+    """Large-mesh context (opt-in line, `python bench.py largemesh`): a
+    96-side cylinder = 384 triangles, beyond the fused step's in-kernel
+    cast budget (TRI_KERNEL_MAX=128) — the imported-STL code path: the
+    fused step with kernel_cast off (injections pre-cast, every boundary
+    event exported) and the Pallas bbox-prefiltered large-mesh ray cast
+    (ops/raycast_pallas.py); the 96-normal boundary tables (1.6 GB) ride
+    as jit parameters (sim/step.py _parameterize_tables)."""
+    from nanokappa_tpu.geometry.domain import build_domain
+    from nanokappa_tpu.geometry.device import build_device_geometry
+    from nanokappa_tpu.sim.boundary_tables import build_boundary_tables
+
+    dom = build_domain(
+        geometry="cylinder",
+        dimensions=(4e3, 500.0, 96),
+        subvolumes=("slice", 5, 2),
+        bound_pos=(
+            "relative",
+            0.5, 0.5, -0.1,
+            0.5, 0.5, 1.1,
+            1.1, 0.5, 0.5,
+        ),
+        bound_cond=("T", "T", "R", "R"),
+        bound_values=(305.0, 295.0, 2.0, 2.0),
+        connect_pos=("relative",),
+    )
+    geo = build_device_geometry(dom)
+    btab = build_boundary_tables(mat, dom)
+    return mat, dom, geo, btab
+
+
 def run_config(ctx, n_particles: float, res_gen: str, step_impl: str = "auto"):
     """One benchmark run; returns (updates_per_s, n_modes)."""
     import numpy as np
@@ -188,6 +219,19 @@ def main():
     from nanokappa_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if len(sys.argv) > 1 and sys.argv[1] == "largemesh":
+        # opt-in: 384-triangle cylinder at 1e6 (v1 + Pallas large-mesh cast)
+        from nanokappa_tpu.material import synthetic_material
+
+        mat = synthetic_material(mesh=(31, 31, 31))
+        ups, n_modes = run_config(build_bigmesh_ctx(mat), 1e6, "constant")
+        emit(
+            f"phonon-timestep updates/sec/chip (1e6 particles, 96-side "
+            f"cylinder = 384 triangles, fused kernel_cast-off + Pallas large-mesh cast, "
+            f"{n_modes} modes)", ups,
+        )
+        return
 
     n_particles = float(sys.argv[1]) if len(sys.argv) > 1 else 1e6
     mesh_pts = int(sys.argv[2]) if len(sys.argv) > 2 else 0

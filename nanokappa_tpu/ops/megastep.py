@@ -495,15 +495,28 @@ def _kernel(
     decay = jnp.where(
         tau_ev > 0, jnp.exp(-dt / jnp.maximum(tau_ev, 1e-12)), 0.0
     )
-    do_rta = alive & (cf != STALE) & (rta_ref[0, 0] > 0)
+    # freshness marker (lanes injected THIS step skip the deferred RTA —
+    # they did not exist when it was due): C_CF == STALE when the kernel
+    # casts in-kernel; with kernel_cast off (large meshes) injections are
+    # PRE-CAST outside (sim/fused.py) and carry the encoded flight time
+    # t_enc = -(t/dt) - 1 < 0 in C_TCOLL with the REAL facet in C_CF
+    if cfg["kernel_cast"]:
+        fresh = cf == STALE
+    else:
+        fresh = t_coll < -0.5
+    do_rta = alive & ~fresh & (rta_ref[0, 0] > 0)
     dev = jnp.where(do_rta, g + (dev - g) * decay, dev)
 
     # ---- 2. stale-lane ray cast (fresh injections sit on their facet) ------
-    _cast = _box_raycast if tables["is_box"] else _tri_raycast
-    stale = alive & (cf == STALE)
-    t_b, f_b = _cast((px, py, pz), (vx, vy, vz), onf, tables, stale)
-    t_coll = jnp.where(stale, t_b / dt, t_coll)
-    cf = jnp.where(stale, f_b, cf)
+    if cfg["kernel_cast"]:
+        _cast = _box_raycast if tables["is_box"] else _tri_raycast
+        stale = alive & fresh
+        t_b, f_b = _cast((px, py, pz), (vx, vy, vz), onf, tables, stale)
+        t_coll = jnp.where(stale, t_b / dt, t_coll)
+        cf = jnp.where(stale, f_b, cf)
+    else:
+        # decode the pre-cast flight time; cf already carries the facet
+        t_coll = jnp.where(fresh, -t_coll - 1.0, t_coll)
 
     # ---- 3. drift ----------------------------------------------------------
     sf = jnp.where(alive, jnp.minimum(t_coll, rem), 0.0)
@@ -657,8 +670,10 @@ def _kernel(
         rem = jnp.where(mv, jnp.maximum(rem - sf, 0.0), rem)
 
     # MXU ledger reduction (exact f32: Precision.HIGHEST); the narrow rows
-    # are unflattened to (1, BN) so the dot stays a proven 2-D contraction
-    if cfg["n_reservoirs"] > 0:
+    # are unflattened to (1, BN) so the dot stays a proven 2-D contraction.
+    # With the in-kernel rounds off (kernel_cast=False) nothing absorbed in
+    # kernel, so the reduction is skipped (the narrow machinery ledgers).
+    if cfg["n_reservoirs"] > 0 and cfg["u_rounds"] > 0:
         seg_row = _unflat8(led_seg)
         oh = (
             seg_row == jax.lax.broadcasted_iota(jnp.int32, (R8, BN), 0)
@@ -874,6 +889,11 @@ def drift_megastep(
     w_exp: int = 128,
     tau_bounds: tuple | None = None,  # (tau_T[0], tau_T[-1]) clamp for the
     #   slope-form lifetime evaluation (mirror path)
+    kernel_cast: bool = True,  # False for meshes beyond the in-kernel cast
+    #   budget: injections arrive PRE-CAST (sign-encoded C_TCOLL), the
+    #   in-kernel periodic/absorb rounds are disabled, and EVERY boundary
+    #   event exports to the narrow machinery (which runs the Pallas
+    #   large-mesh ray cast, ops/raycast_pallas.py)
 ):
     """Returns (pool3' (C, NR, L), evt_buf, pend_counts (nb,) i32,
     alive_counts (nb,) i32, starts (nb,) i32, kept (nb,) i32, ledger (8, 5)
@@ -949,8 +969,11 @@ def drift_megastep(
         # chains (specular->specular corner hits, specular->periodic, ...)
         # in-register, cutting both the event export and the narrow
         # machinery's while-loop rounds (0.36 ms/step at N=1.25e6);
-        # without it the extra facet-select pass isn't worth it
-        u_rounds=2 if use_mirror else 1,
+        # without it the extra facet-select pass isn't worth it. With
+        # kernel_cast off no in-kernel round can run (an event resolution
+        # needs a re-cast the kernel cannot do)
+        u_rounds=0 if not kernel_cast else (2 if use_mirror else 1),
+        kernel_cast=bool(kernel_cast),
         sv_mode="slice" if geo.subvol_type == "slice" else "nearest",
         # immediate-constant centres only inside the unroll budget; bigger
         # tables ride the SMEM tsv rows 1-3 instead

@@ -135,7 +135,12 @@ def _prep(geo):
     tab[9] = np.einsum("ij,ij->i", n_hat, o_loc)
     tab[10] = np.einsum("ij,ij->i", T1, o_loc)
     tab[11] = np.einsum("ij,ij->i", T2, o_loc)
-    tab[12] = tf.view(np.float32)
+    # facet ids as float VALUES, not bit patterns: small-int f32 bit
+    # patterns are denormals that real-hardware data paths flush to zero —
+    # the bitcast exclusion column read back 0/garbage on chip, so every
+    # reflected lane immediately re-hit its own facet (t = 0) and the
+    # event backlog grew without bound. f32 represents ints exactly here.
+    tab[12] = tf.astype(np.float32)
 
     out = (jnp.asarray(bbox), jnp.asarray(tab), nc)
     object.__setattr__(geo, "_pallas_cast", out)
@@ -146,7 +151,7 @@ def _kernel(bbox_ref, tri_hbm, pv_ref, out_ref, chunk, bt_ref, bf_ref, sem,
             *, nc):
     x = pv_ref[:, 0:3]  # (BP, 3)
     v = pv_ref[:, 3:6]
-    ei = jax.lax.bitcast_convert_type(pv_ref[:, 6:7], jnp.int32)  # (BP, 1)
+    ei = pv_ref[:, 6:7]  # (BP, 1) excluded facet as float VALUE (see _prep)
 
     bt_ref[:, :] = jnp.full((BP, 1), jnp.inf, jnp.float32)
     bf_ref[:, :] = jnp.full((BP, 1), -1, jnp.int32)
@@ -180,7 +185,7 @@ def _kernel(bbox_ref, tri_hbm, pv_ref, out_ref, chunk, bt_ref, bf_ref, sem,
             ch = chunk[:, :]  # (16, BF)
             T1, T2, nrm = ch[0:3, :], ch[3:6, :], ch[6:9, :]
             d, c1, c2 = ch[9:10, :], ch[10:11, :], ch[11:12, :]
-            fi = jax.lax.bitcast_convert_type(ch[12:13, :], jnp.int32)
+            fi = ch[12:13, :]  # (1, BF) facet id as float VALUE
 
             # chunk-local particle coordinates (see _prep): keeps the plane
             # solve at chunk magnitude instead of domain*|n| magnitude
@@ -215,12 +220,15 @@ def _kernel(bbox_ref, tri_hbm, pv_ref, out_ref, chunk, bt_ref, bf_ref, sem,
                 & (w >= -_BARY_TOL)
                 & (u + w <= 1.0 + _BARY_TOL)
                 & (fi != ei)
-                & (fi >= 0)
+                & (fi >= 0.0)
             )
             t = jnp.where(valid, t, jnp.inf)
             tmin_c = jnp.min(t, axis=1, keepdims=True)  # (BP, 1)
+            fi_i = fi.astype(jnp.int32)  # exact: small non-negative ints
             fmin_c = jnp.min(
-                jnp.where(t == tmin_c, jnp.broadcast_to(fi, t.shape), _BIG_F),
+                jnp.where(
+                    t == tmin_c, jnp.broadcast_to(fi_i, t.shape), _BIG_F
+                ),
                 axis=1, keepdims=True,
             )
             closer = tmin_c < bt_ref[:, :]
@@ -250,9 +258,8 @@ def raycast_pallas(geo, pos, vel, exclude_facet, interpret: bool = False):
     bbox, tab, nc = _prep(geo)
     N = pos.shape[0]
     Np = -(-N // BP) * BP
-    ex_f = jax.lax.bitcast_convert_type(
-        exclude_facet.astype(jnp.int32), jnp.float32
-    )
+    # exclusion as a float VALUE (not a bitcast — see _prep's facet row)
+    ex_f = exclude_facet.astype(jnp.float32)
     pv = jnp.concatenate(
         [
             pos.astype(jnp.float32),

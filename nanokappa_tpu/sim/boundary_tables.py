@@ -238,6 +238,9 @@ def _correspondence_k(mat: Material, n: np.ndarray) -> np.ndarray:
     return corr
 
 
+_CMR_MISSING = object()
+
+
 def combined_mirror_rows(btab, mat) -> np.ndarray | None:
     """(M, 8) COMBINED specular rows for the in-kernel mirror cache
     (sim/fused.py mirror_eligible): a wall pair with opposite normals
@@ -247,7 +250,16 @@ def combined_mirror_rows(btab, mat) -> np.ndarray | None:
     rows CONFLICT on an overlap (rough walls of different plane families —
     the fast path is ineligible). Modes whose map is not an involution
     (mirror(mirror(m)) != m, which the cache swap relies on) fall back to
-    corr = -1 (narrow-machinery export)."""
+    corr = -1 (narrow-machinery export).
+
+    The result caches on the btab instance: the first call always happens
+    at step-BUILD time with concrete tables (mirror_eligible), so later
+    calls from inside jit tracing — where sim/step.py may have swapped the
+    device fields for tracers (_parameterize_tables) — never touch
+    mat/btab arrays."""
+    cached = getattr(btab, "_cmr_rows", _CMR_MISSING)
+    if cached is not _CMR_MISSING:
+        return cached
     sc = _host_table(btab, "spec_corr")  # (NU, M, 8)
     corr = _host_table(btab, "corr")  # (NU, M)
     NU, M = corr.shape
@@ -256,6 +268,7 @@ def combined_mirror_rows(btab, mat) -> np.ndarray | None:
     for r in range(1, NU):
         conflict = (cur >= 0) & (corr[r] >= 0) & (cur != corr[r])
         if conflict.any():
+            object.__setattr__(btab, "_cmr_rows", None)
             return None
         pick = (cur < 0) & (corr[r] >= 0)
         out[pick] = sc[r][pick]
@@ -278,6 +291,7 @@ def combined_mirror_rows(btab, mat) -> np.ndarray | None:
         out[bad, 0] = 0.0
         out[bad, 1] = np.full(int(bad.sum()), -1, np.int32).view(np.float32)
         out[bad, 2:6] = 0.0
+    object.__setattr__(btab, "_cmr_rows", out)
     return out
 
 

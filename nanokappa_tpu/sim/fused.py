@@ -79,6 +79,18 @@ FORCE_INTERPRET = False  # debug knob: run the Pallas kernels in interpret
 
 
 TRI_KERNEL_MAX = 128  # static-unroll budget of the in-kernel triangle cast
+LARGE_TRI_MAX = 65536  # fused-step mesh bound BEYOND the in-kernel budget:
+#   such configs run the fused kernel with kernel_cast=False — injections
+#   pre-cast at buffer width and every boundary event exported to the
+#   narrow machinery, whose ray cast is the Pallas bbox-prefiltered
+#   large-mesh kernel (ops/raycast_pallas.py, 64k-triangle chunk cap)
+
+
+def kernel_cast_ok(geo) -> bool:
+    """Can the drift mega-kernel cast rays itself? Box slab math or a mesh
+    within the static-unroll budget. Beyond it the fused step still runs,
+    with kernel_cast=False (events export; Pallas large-mesh cast)."""
+    return geo.is_box or int(geo.tri_origin.shape[0]) <= TRI_KERNEL_MAX
 
 
 def autosize_evt_cap(geo, mat, params, use_mirror: bool, N_shard: int) -> int:
@@ -97,7 +109,11 @@ def autosize_evt_cap(geo, mat, params, use_mirror: bool, N_shard: int) -> int:
     on the 1e6 nanowire), every wide-stage op scales with this width
     (~2.2 ms/step of the wire's 6.6 at the old 2x), occasional overflow
     only freezes lanes for one step, and the driver's storm adaptation
-    grows the cap on sustained overflow."""
+    grows the cap on sustained overflow.
+
+    kernel_cast-off path (large meshes): EVERY boundary hit exports —
+    periodic and absorbing included — so the kinetic rate uses the TOTAL
+    boundary area, not just the rough walls."""
     import numpy as np
 
     if use_mirror:
@@ -112,14 +128,17 @@ def autosize_evt_cap(geo, mat, params, use_mirror: bool, N_shard: int) -> int:
     e1 = np.asarray(geo.tri_e1)
     e2 = np.asarray(geo.tri_e2)
     areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
-    rough_area = float(areas[bc[tri_f] == int(BC.ROUGH)].sum())
-    if rough_area == 0.0:
+    if kernel_cast_ok(geo):
+        evt_area = float(areas[bc[tri_f] == int(BC.ROUGH)].sum())
+    else:
+        evt_area = float(areas.sum())
+    if evt_area == 0.0:
         return floor
     ov = np.asarray(mat.omega_vel)
     act = np.asarray(mat.active).astype(bool)
     v = np.linalg.norm(ov[:, 1:4], axis=1)
     vbar = float(v[act].mean()) if act.any() else float(v.mean())
-    rate = rough_area * vbar * float(params.dt) / (4.0 * float(geo.volume))
+    rate = evt_area * vbar * float(params.dt) / (4.0 * float(geo.volume))
     est = int(1.5 * rate * N_shard)
     return int(np.clip(est, floor, max(floor, N_shard // 8)))
 
@@ -130,17 +149,19 @@ def v2_eligible(geo: DeviceGeometry, params: SimParams) -> bool:
     TRI_KERNEL_MAX triangles — every built-in primitive (cylinder, zigzag,
     corrugated, castle, star, freewire at default tessellation) and small
     imported STLs — via a statically-unrolled in-kernel Möller–Trumbore
-    cast; slice subvolumes (nearest/linear interpolation, <= 512) or
-    grid/voronoi subvolumes (nearest interpolation, <= 256 centres — the
-    kernel's argmin unrolls up to 32 centres and walks the SMEM centre
-    table in a fori_loop beyond), and a pool capacity aligned to the kernel
-    tile (the driver and bench round n_cap up). Everything else (very large
-    STL, radial RBF interpolation, debug ablations) runs the v1 step."""
+    cast, or ANY mesh up to LARGE_TRI_MAX with kernel_cast off (injections
+    pre-cast, events exported, Pallas large-mesh ray cast); slice
+    subvolumes (nearest/linear interpolation, <= 512) or grid/voronoi
+    subvolumes (nearest interpolation, <= 256 centres — the kernel's
+    argmin unrolls up to 32 centres and walks the SMEM centre table in a
+    fori_loop beyond), and a pool capacity aligned to the kernel tile (the
+    driver and bench round n_cap up). Everything else (>64k-triangle STL,
+    radial RBF interpolation, debug ablations) runs the v1 step."""
     from nanokappa_tpu.ops.megastep import tile_width
 
     if params.step_impl == "v1" or params.debug_skip:
         return False
-    if not geo.is_box and geo.tri_origin.shape[0] > TRI_KERNEL_MAX:
+    if not geo.is_box and geo.tri_origin.shape[0] > LARGE_TRI_MAX:
         return False
     if geo.subvol_type == "slice":
         if params.temp_interp not in ("nearest", "linear"):
@@ -180,10 +201,10 @@ def v2_fallback_reason(geo: DeviceGeometry, params: SimParams) -> str | None:
     if params.debug_skip:
         return f"debug_skip={params.debug_skip!r} ablation is active"
     F = int(geo.tri_origin.shape[0])
-    if not geo.is_box and F > TRI_KERNEL_MAX:
+    if not geo.is_box and F > LARGE_TRI_MAX:
         return (
-            f"mesh has {F} triangles > the in-kernel cast budget "
-            f"TRI_KERNEL_MAX={TRI_KERNEL_MAX}"
+            f"mesh has {F} triangles > the large-mesh fused-step bound "
+            f"LARGE_TRI_MAX={LARGE_TRI_MAX}"
         )
     if geo.subvol_type == "slice":
         if params.temp_interp not in ("nearest", "linear"):
@@ -232,6 +253,10 @@ def mirror_eligible(geo: DeviceGeometry, btab, params: SimParams, mat=None) -> b
     if params.scat_model in ("k", "wavevector", "wave_vector"):
         return False
     if btab is None or mat is None or int(btab.n_rough) == 0:
+        return False
+    if not kernel_cast_ok(geo):
+        # the register-swap reflection needs the in-kernel re-cast, which
+        # large meshes do not have (kernel_cast=False)
         return False
     from nanokappa_tpu.sim.boundary_tables import _host_table
 
@@ -411,6 +436,7 @@ def make_step_v2(
     from nanokappa_tpu.sim.step import StepOutputs
 
     interpret = jax.default_backend() == "cpu" or FORCE_INTERPRET
+    kernel_cast = kernel_cast_ok(geo)
     use_mirror = mirror_eligible(geo, btab, params, mat)
     # SLIM mirror cache (18-row combined pool): partner mode id + main tau
     # slope only — exact when the correspondence is the crystal-symmetry
@@ -475,6 +501,10 @@ def make_step_v2(
     R = geo.n_reservoirs
     R8 = _pad8(R + 1)
     SV = geo.n_subvols
+    evt_default_build = autosize_evt_cap(
+        geo, mat, params, use_mirror,
+        params.n_cap // max(1, params.n_shards),
+    )
 
     def step(state: SimState, _=None):
         # inside build_step's scan the pool rides in the kernel-native 3-D
@@ -539,9 +569,10 @@ def make_step_v2(
         # this width, 0.9 ms/step of gathers at the old N/512 and 1e7.
         # Without the mirror the width tracks the kinetic rough-wall
         # collision rate (autosize_evt_cap — thin nanowires reach ~5%/step
-        # where a flat N/64 silently froze an ever-growing backlog)
-        evt_default = autosize_evt_cap(geo, mat, params, use_mirror, N)
-        EVT_CAP = -(-(params.evt_cap or evt_default) // 128) * 128
+        # where a flat N/64 silently froze an ever-growing backlog).
+        # Computed at BUILD time (host reads of mat are forbidden in the
+        # traced body when sim/step.py parameterizes the tables).
+        EVT_CAP = -(-(params.evt_cap or evt_default_build) // 128) * 128
         key = jax.random.fold_in(state.key, state.step)
         key = jax.random.fold_in(key, shard_idx())
         k_inj, k_casc = jax.random.split(key)
@@ -588,6 +619,25 @@ def make_step_v2(
                     inj_rows = inj_rows.at[:, C_TAU].set(tau_a_inj)
                 # combined pool: ONE window appends particle + mirror rows
                 inj_rows = jnp.concatenate([inj_rows, mrows_inj], axis=1)
+            if not kernel_cast:
+                # pre-cast at buffer width (the kernel cannot): the Pallas
+                # large-mesh kernel / XLA scan via the raycast dispatch.
+                # Freshness rides the SIGN of C_TCOLL (t_enc = -t/dt - 1 <
+                # 0) with the REAL facet in C_CF — decoded by this step's
+                # kernel (ops/megastep.py step 2), so the lane still skips
+                # the deferred RTA it predates
+                from nanokappa_tpu.ops.raycast import raycast
+                from nanokappa_tpu.sim.state import (
+                    C_CF, C_ONF, C_TCOLL, _bc_i32,
+                )
+
+                t_b, f_b = raycast(
+                    geo, inj_rows[:, C_POS], inj_rows[:, C_VEL],
+                    _bc_i32(inj_rows[:, C_ONF]),
+                )
+                inj_rows = inj_rows.at[:, C_TCOLL].set(
+                    -(t_b / params.dt) - 1.0
+                ).at[:, C_CF].set(_bc_f32(f_b))
             pool3, ok = _append_window(pool3, inj_rows.T, valid_inj, tail)
             tail = tail + jnp.where(ok, n_valid, 0)
             lost_inj = dropped + jnp.where(ok, 0, n_valid)
@@ -613,6 +663,7 @@ def make_step_v2(
             # 1e7 in wider RMW windows
             w_exp=min(256, EVT_CAP),
             tau_bounds=tau_bounds if use_mirror else None,
+            kernel_cast=kernel_cast,
         )
         frozen_k = jnp.sum(ecnt - ecnt_c)
 

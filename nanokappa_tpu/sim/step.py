@@ -12,6 +12,7 @@ for the host-side convergence machinery.
 
 from __future__ import annotations
 
+import contextlib
 from dataclasses import dataclass
 from functools import partial
 
@@ -206,6 +207,65 @@ def _mk(state, dev, sv, T_sv_new, np_sv, E_sv, phi, energies, psum):
     return new_state, outputs
 
 
+_BIG_CONST_BYTES = 200 * 1024 * 1024  # the remote-compile tunnel rejects
+#   programs whose baked CONSTANTS grow too large (HTTP 413 'length limit
+#   exceeded'; a 96-normal boundary table is 1.6 GB) — past this threshold
+#   the tables ride as jit PARAMETERS instead. The threshold stays above
+#   the production film config (~165 MB of 31^3 material+boundary tables),
+#   which measures 1.4-3x FASTER with tables baked as constants (XLA
+#   specialises gathers/layouts against known buffers), and below any
+#   observed 413.
+
+
+def _array_fields(obj) -> dict:
+    """Device-array dataclass fields of a tables pytree (skips static ints
+    and the host-side stashes)."""
+    out = {}
+    for f in obj.__dataclass_fields__:
+        v = getattr(obj, f)
+        if hasattr(v, "nbytes") and hasattr(v, "dtype"):
+            out[f] = v
+    return out
+
+
+@contextlib.contextmanager
+def _swap_fields(obj, new_fields: dict):
+    """Temporarily rebind array fields of a (frozen) dataclass INSTANCE —
+    used to substitute tracers during jit tracing so the arrays become
+    program parameters instead of baked constants. Host-side stashes
+    (object.__setattr__ attributes like btab._host) are untouched, so
+    host-logic run during tracing still sees concrete tables."""
+    old = {k: getattr(obj, k) for k in new_fields}
+    try:
+        for k, v in new_fields.items():
+            object.__setattr__(obj, k, v)
+        yield
+    finally:
+        for k, v in old.items():
+            object.__setattr__(obj, k, v)
+
+
+def _parameterize_tables(run_core, objs: dict):
+    """Wrap run_core(state) so the array fields of the given table objects
+    are jit PARAMETERS: tracing happens with tracers swapped onto the same
+    instances (closures keep working), and every call passes the concrete
+    arrays (zero-copy — they already live on device)."""
+    tabs = {name: _array_fields(obj) for name, obj in objs.items()}
+
+    def outer(state, tabs_in):
+        with contextlib.ExitStack() as stack:
+            for name, obj in objs.items():
+                stack.enter_context(_swap_fields(obj, tabs_in[name]))
+            return run_core(state)
+
+    jitted = jax.jit(outer, donate_argnums=0)
+
+    def run(state):
+        return jitted(state, tabs)
+
+    return run
+
+
 def build_step(geo, mat, btab, rtab, params, n_inner: int = 1, n_outer: int = 1):
     """Jitted multi-step: advances n_outer blocks of n_inner steps.
 
@@ -229,10 +289,22 @@ def build_step(geo, mat, btab, rtab, params, n_inner: int = 1, n_outer: int = 1)
     step = make_step(geo, mat, btab, rtab, params)
     is_v2 = v2_eligible(geo, params)
 
+    # many-normal geometries carry GB-scale boundary tables; baked as jit
+    # constants they exceed the remote-compile size limit, so past the
+    # threshold the tables ride as parameters (_parameterize_tables)
+    table_objs = {"mat": mat, "btab": btab, "rtab": rtab}
+    table_bytes = sum(
+        v.nbytes for obj in table_objs.values()
+        for v in _array_fields(obj).values()
+    )
+    big_tables = table_bytes > _BIG_CONST_BYTES
+
     if is_v2:
         run_blocks = make_v2_block_runner(
             geo, mat, btab, params, step, n_inner, n_outer
         )
+        if big_tables:
+            return _parameterize_tables(run_blocks, table_objs)
         # donate the carried state: without donation XLA must preserve the
         # 126 MB input pool across the call (an extra copy + 2x the pool's
         # HBM footprint per run)
@@ -245,8 +317,7 @@ def build_step(geo, mat, btab, rtab, params, n_inner: int = 1, n_outer: int = 1)
         state = reset_ledgers(state)
         return state, last
 
-    @jax.jit
-    def run(state: SimState):
+    def run_core(state: SimState):
         if n_outer == 1:
             state = maybe_refresh_tau(state, geo, mat, params)
             state, outs = jax.lax.scan(step, state, length=n_inner)
@@ -255,7 +326,9 @@ def build_step(geo, mat, btab, rtab, params, n_inner: int = 1, n_outer: int = 1)
             state, out = jax.lax.scan(block, state, length=n_outer)
         return state, out
 
-    return run
+    if big_tables:
+        return _parameterize_tables(run_core, table_objs)
+    return jax.jit(run_core)
 
 
 def make_v2_block_runner(

@@ -224,6 +224,38 @@ def test_v2_runner_conserves_population():
     assert abs(int(out.N_p) - n0) < 0.05 * n0, (int(out.N_p), n0)
 
 
+def test_parameterized_tables_runner(monkeypatch):
+    """Force the big-tables path of build_step (tables ride as jit
+    PARAMETERS instead of baked constants — the remote-compile tunnel
+    rejects GB-scale constants, e.g. a 96-normal boundary table): results
+    must match the plain constant-baking path exactly, including the
+    mirror/slim build logic that runs host-side reads during tracing."""
+    import nanokappa_tpu.sim.step as stp
+    from nanokappa_tpu.sim.step import build_step
+
+    mat, dom, geo, btab, rtab, params, state = _build(
+        bound="TTRRP", rough=0.0, impl="v2"
+    )
+    run_const = build_step(
+        geo, mat.device_tables(), btab, rtab, params, n_inner=3
+    )
+    s1, out1 = run_const(state)
+
+    monkeypatch.setattr(stp, "_BIG_CONST_BYTES", 0)
+    state2 = _build(bound="TTRRP", rough=0.0, impl="v2")[-1]
+    run_param = build_step(
+        geo, mat.device_tables(), btab, rtab, params, n_inner=3
+    )
+    s2, out2 = run_param(state2)
+    np.testing.assert_array_equal(
+        np.asarray(out1.T_sv), np.asarray(out2.T_sv)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out1.Np_sv), np.asarray(out2.Np_sv)
+    )
+    assert int(out2.lost) == 0
+
+
 @pytest.mark.parametrize(
     "subvols",
     [
@@ -349,6 +381,51 @@ def test_v2_cylinder_matches_v1():
         assert abs(int(a.N_p) - int(b.N_p)) < 30
     # population balanced (injection replaces absorption; the pre-fix
     # mirror+denormal path drained ~60 particles/step)
+    assert abs(int(res["v2"][-1].N_p) - 3000) < 100
+
+
+def test_v2_large_mesh_matches_v1():
+    """Meshes beyond the in-kernel cast budget (here a 96-side cylinder =
+    384 triangles > TRI_KERNEL_MAX) ride the fused step with kernel_cast
+    OFF: injections are pre-cast at buffer width (freshness sign-encoded in
+    C_TCOLL) and EVERY boundary event exports to the narrow machinery,
+    whose raycast dispatch covers large meshes (Pallas on TPU, XLA scan on
+    CPU). Diffuse reflections draw per-lane RNG, so compare statistics;
+    step 0's absorption ledger is deterministic and must agree exactly."""
+    from nanokappa_tpu.sim.fused import (
+        TRI_KERNEL_MAX, kernel_cast_ok, mirror_eligible, v2_eligible,
+    )
+
+    mat, dom, geo, btab, rtab, params, state = _build_cylinder(
+        "v2", n_sides=96
+    )
+    assert geo.tri_origin.shape[0] > TRI_KERNEL_MAX
+    assert not kernel_cast_ok(geo)
+    assert v2_eligible(geo, params)
+    assert not mirror_eligible(geo, btab, params, mat.device_tables())
+
+    res = {}
+    for impl in ("v1", "v2"):
+        mat, dom, geo, btab, rtab, params, state = _build_cylinder(
+            impl, n_sides=96
+        )
+        step = jax.jit(
+            make_step(geo, mat.device_tables(), btab, rtab, params)
+        )
+        o = []
+        for _ in range(4):
+            state, out = step(state)
+            o.append(out)
+        res[impl] = o
+    for k, (a, b) in enumerate(zip(res["v1"], res["v2"])):
+        np.testing.assert_allclose(
+            np.asarray(a.T_sv), np.asarray(b.T_sv), atol=0.05,
+            err_msg=f"T_sv step {k}")
+        if k == 0:
+            np.testing.assert_array_equal(
+                np.asarray(a.n_leaving), np.asarray(b.n_leaving))
+        assert int(b.lost) == 0
+        assert abs(int(a.N_p) - int(b.N_p)) < 30
     assert abs(int(res["v2"][-1].N_p) - 3000) < 100
 
 

@@ -126,6 +126,22 @@ def test_pallas_raycast_large_mesh_on_chip():
     np.testing.assert_allclose(t_pal[both], t_ref[both], rtol=2e-4, atol=1e-4)
     assert np.isfinite(t_pal).all()
 
+    # recast-from-wall with the OWN facet excluded — the exact bit-hazard
+    # that broke on hardware in round 4: facet ids carried as f32 BIT
+    # patterns are denormals, and the input path flushed them to 0, so the
+    # exclusion never matched and every reflected lane re-hit its own
+    # facet at t = 0 (event backlog grew without bound). Facet ids now ride
+    # as float VALUES; this leg pins the fix.
+    pos_wall = pos32 + vel32 * jnp.asarray(t_ref)[:, None]
+    nrm = np.asarray(geo.facet_normal)[f_ref]
+    vr = np.asarray(vel32) - 2.0 * (np.asarray(vel32) * nrm).sum(1)[:, None] * nrm
+    t2, f2 = raycast_pallas(
+        geo, pos_wall, jnp.asarray(vr, jnp.float32), jnp.asarray(f_ref)
+    )
+    t2, f2 = np.asarray(t2), np.asarray(f2)
+    self_hit = (f2 == f_ref) & (t2 < 1e-3)
+    assert self_hit.mean() < 1e-3, self_hit.sum()
+
 
 def test_v2_triangle_cast_on_chip():
     """Mosaic-compiled non-box fused step: cylinder nanowire with an
