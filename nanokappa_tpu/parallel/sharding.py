@@ -146,7 +146,11 @@ def build_sharded_step(
         return jax.tree_util.tree_map_with_path(spec_of, tree)
 
     def make(state: SimState):
-        from nanokappa_tpu.sim.step import StepOutputs
+        import contextlib
+
+        from nanokappa_tpu.sim.step import (
+            StepOutputs, _BIG_CONST_BYTES, _array_fields, _swap_fields,
+        )
 
         in_specs = specs_for(state, state.pos.shape[0])
         # outputs: state keeps the same specs; StepOutputs are replicated
@@ -155,6 +159,31 @@ def build_sharded_step(
             in_specs,
             StepOutputs(**{f: P() for f in StepOutputs.__dataclass_fields__}),
         )
+        # big-table configs (many-normal boundary tables) must pass the
+        # tables as jit PARAMETERS — same constant-size escape as the
+        # single-chip build_step (sim/step.py _parameterize_tables), with
+        # replicated (P()) shard_map specs so every shard sees full tables
+        table_objs = {"mat": mat, "btab": btab, "rtab": rtab}
+        tabs = {n: _array_fields(o) for n, o in table_objs.items()}
+        table_bytes = sum(
+            v.nbytes for fields in tabs.values() for v in fields.values()
+        )
+        if table_bytes > _BIG_CONST_BYTES:
+            tab_specs = jax.tree.map(lambda _: P(), tabs)
+
+            def run_wrapped(st, tabs_in):
+                with contextlib.ExitStack() as stack:
+                    for n, obj in table_objs.items():
+                        stack.enter_context(_swap_fields(obj, tabs_in[n]))
+                    return run_local(st)
+
+            fn = jax.jit(
+                jax.shard_map(
+                    run_wrapped, mesh=mesh, in_specs=(in_specs, tab_specs),
+                    out_specs=out_specs, check_vma=False,
+                )
+            )
+            return lambda st: fn(st, tabs)
         return jax.jit(
             jax.shard_map(
                 run_local, mesh=mesh, in_specs=(in_specs,),

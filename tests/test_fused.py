@@ -128,6 +128,31 @@ def test_v2_sharded_runs():
     assert abs(int(out.N_p) - 3000) < 200
 
 
+def test_v2_sharded_parameterized_tables(monkeypatch):
+    """The sharded builder's big-table escape: tables as shard_map
+    PARAMETERS with replicated specs (forced via the threshold). Must
+    produce the same invariants as the constant-baking sharded path."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    import nanokappa_tpu.sim.step as stp
+    from nanokappa_tpu.parallel import (
+        build_sharded_step, make_particle_mesh, shard_state,
+    )
+
+    monkeypatch.setattr(stp, "_BIG_CONST_BYTES", 0)
+    mat, dom, geo, btab, rtab, params, state = _build(impl="v2", n_shards=2)
+    mesh = make_particle_mesh(2)
+    state = shard_state(state, mesh)
+    run = build_sharded_step(
+        geo, mat.device_tables(), btab, rtab, params, mesh, n_inner=2
+    )
+    state, out = run(state)
+    T = np.asarray(out.T_sv)
+    assert np.all(T > 290) and np.all(T < 310)
+    assert int(out.lost) == 0
+    assert abs(int(out.N_p) - 3000) < 200
+
+
 def test_v2_mirror_specular_matches_v1():
     """eta = 0 film walls: the in-kernel specular fast path (mirror-cache
     register swap, ops/megastep.py) must reproduce the v1 XLA cascade.
@@ -427,6 +452,56 @@ def test_v2_large_mesh_matches_v1():
         assert int(b.lost) == 0
         assert abs(int(a.N_p) - int(b.N_p)) < 30
     assert abs(int(res["v2"][-1].N_p) - 3000) < 100
+
+
+def test_v2_imported_stl_runs(tmp_path):
+    """Full imported-STL pipeline (SURVEY validation gate 4): tessellate a
+    144-side cylinder, export it with the framework's own STL writer, load
+    it back through build_domain(<path>.stl), and run the FUSED step — the
+    576-triangle mesh exceeds TRI_KERNEL_MAX, so this drives the
+    kernel_cast-off path + Pallas large-mesh ray cast end to end from a
+    file on disk, exactly how a reference user imports geometry."""
+    from nanokappa_tpu.geometry.primitives import make_primitive
+    from nanokappa_tpu.geometry.stl import save_stl
+    from nanokappa_tpu.sim.fused import (
+        TRI_KERNEL_MAX, kernel_cast_ok, v2_eligible,
+    )
+    from nanokappa_tpu.sim.step import build_step
+
+    mesh = make_primitive("cylinder", (2e3, 500.0, 144))
+    path = str(tmp_path / "wire.stl")
+    save_stl(mesh, path)
+
+    mat = synthetic_material(mesh=(4, 4, 4))
+    dom = build_domain(
+        geometry=path,
+        subvolumes=("slice", 5, 2),
+        bound_pos=("relative", 0.5, 0.5, -0.1, 0.5, 0.5, 1.1),
+        bound_cond=("T", "T", "R"), bound_values=(302.0, 298.0, 2.0),
+        connect_pos=("relative",),
+    )
+    n_p, rho = particle_count(("total", 2000), mat, dom)
+    params = SimParams(
+        dt=1.0, n_cap=4096, inj_cap=512, temp_interp="nearest",
+        particle_density=rho, n_active_modes=mat.n_active_modes,
+        t_reference=300.0, step_impl="v2",
+    )
+    geo = build_device_geometry(dom)
+    assert geo.tri_origin.shape[0] > TRI_KERNEL_MAX
+    assert not kernel_cast_ok(geo) and v2_eligible(geo, params)
+    btab = build_boundary_tables(mat, dom)
+    rtab = build_reservoir_tables(mat, dom, 1.0, rho)
+    state = init_state(
+        mat, dom, geo, params, n_p, temp_dist="linear", seed=5, btab=btab
+    )
+    run = build_step(geo, mat.device_tables(), btab, rtab, params, n_inner=5)
+    for _ in range(3):
+        state, out = run(state)
+    T = np.asarray(out.T_sv)
+    assert np.all(T > 290) and np.all(T < 310)
+    assert T[0] > T[-1]  # hot cap -> cold cap gradient forming
+    assert int(out.lost) == 0
+    assert abs(int(out.N_p) - n_p) < 0.1 * n_p
 
 
 def test_megastep_row_export_bit_exact():
