@@ -44,15 +44,16 @@ class BoundaryTables:
     diffuse_cdf: jax.Array  # (NU, M) f32 normalised cumulative creation rate
     diffuse_prob: jax.Array  # (NU, M) f32 Walker alias acceptance probability
     diffuse_alias: jax.Array  # (NU, M) i32 Walker alias partner mode
-    # combined rows for the event cascade: ONE row gather yields the
-    # branch decision AND the outgoing mode's cached properties, so the
-    # reflection path needs no follow-up (M,4) omega_vel gather (0.1 ms/step
-    # at a 31^3 table, EVT width). Int columns carried bitcast as f32.
-    spec_corr: jax.Array  # (NU, M, 8) f32 [specularity, bitcast(corr),
-    #   omega[corr], v[corr] (3), 0, 0]
-    diff_pa: jax.Array  # (NU, M, 10) f32 [alias prob, bitcast(alias idx),
-    #   omega[m], v[m] (3), omega[alias], v[alias] (3)] — m is the row's own
-    #   mode (the uniform draw j indexes this table directly)
+    # combined DECISION rows for the event cascade: one narrow row gather
+    # yields the branch decision; the chosen mode's properties then come
+    # from ONE shared (M, 4) omega_vel gather (normal-independent). The
+    # earlier 8/10-column bundles that also carried the outgoing mode's
+    # omega/velocity per (normal, mode) cost 1.6 ms/step of gather traffic
+    # on the 31^3 nanowire (4-5x the data per event) and 18x NU*M*4 bytes
+    # of memory (1.2 GB of a 96-normal cylinder's tables).
+    spec2: jax.Array  # (NU, M, 2) f32 [specularity, bitcast(corr)]
+    diff2: jax.Array  # (NU, M, 2) f32 [alias prob, bitcast(alias idx)] —
+    #   the uniform draw j indexes this table directly
     row_of_rough: jax.Array  # (NR,) i32 rough facet -> table row
     # internal membranes are hit from BOTH sides; back-side hits (v.n < 0
     # at the stored facet normal) use the row built for the flipped normal.
@@ -67,10 +68,10 @@ def _host_table(btab, name: str) -> np.ndarray:
     """Host copy of a BoundaryTables field. build_boundary_tables stashes the
     NumPy originals on the instance (`_host`) so host-side consumers
     (mirror_eligible, combined_mirror_rows — both run during init) do not
-    re-pull multi-MB tables from the device; at a 31^3 production table the
-    (NU, M, 8) spec_corr alone is ~11 MB per pull through the remote-device
-    tunnel. Falls back to a device pull for instances that crossed a pytree
-    boundary (flatten drops non-field attributes)."""
+    re-pull multi-MB tables from the device (several MB per pull through
+    the remote-device tunnel at a 31^3 production table). Falls back to a
+    device pull for instances that crossed a pytree boundary (flatten drops
+    non-field attributes)."""
     h = getattr(btab, "_host", None)
     if h is not None and name in h:
         return h[name]
@@ -85,35 +86,6 @@ def _combine_f32_i32(f: np.ndarray, i: np.ndarray) -> np.ndarray:
     )
 
 
-def _spec_ext(mat: Material, spec: np.ndarray, corr: np.ndarray) -> np.ndarray:
-    """(NU, M, 8) specular rows [p, bitcast(corr), omega[corr], v[corr](3),
-    0, 0]; rows without a correspondence carry zeros (unreachable: specular
-    requires corr >= 0)."""
-    NU, M = spec.shape
-    v, omega, _ = _mode_tables(mat)
-    cc = np.maximum(corr, 0)
-    out = np.zeros((NU, M, 8), np.float32)
-    out[:, :, 0] = spec
-    out[:, :, 1] = corr.astype(np.int32).view(np.float32)
-    out[:, :, 2] = np.where(corr >= 0, omega[cc], 0.0)
-    out[:, :, 3:6] = np.where((corr >= 0)[:, :, None], v[cc], 0.0)
-    return out
-
-
-def _diff_ext(mat: Material, aprob: np.ndarray, aidx: np.ndarray) -> np.ndarray:
-    """(NU, M, 10) diffuse-alias rows [p, bitcast(alias), omega[m], v[m](3),
-    omega[alias], v[alias](3)] — indexed by the uniform draw j = m, so both
-    alias outcomes' cached properties ride the same row gather."""
-    NU, M = aprob.shape
-    v, omega, _ = _mode_tables(mat)
-    out = np.zeros((NU, M, 10), np.float32)
-    out[:, :, 0] = aprob
-    out[:, :, 1] = aidx.astype(np.int32).view(np.float32)
-    out[:, :, 2] = omega[None, :]
-    out[:, :, 3:6] = v[None, :, :]
-    out[:, :, 6] = omega[aidx]
-    out[:, :, 7:10] = v[aidx]
-    return out
 
 
 def _mode_tables(mat: Material):
@@ -260,19 +232,19 @@ def combined_mirror_rows(btab, mat) -> np.ndarray | None:
     cached = getattr(btab, "_cmr_rows", _CMR_MISSING)
     if cached is not _CMR_MISSING:
         return cached
-    sc = _host_table(btab, "spec_corr")  # (NU, M, 8)
+    spec = _host_table(btab, "specularity")  # (NU, M)
     corr = _host_table(btab, "corr")  # (NU, M)
     NU, M = corr.shape
-    out = sc[0].copy()
-    cur = corr[0].copy()
+    cur = corr[0].astype(np.int64).copy()
+    pcur = spec[0].astype(np.float32).copy()
     for r in range(1, NU):
         conflict = (cur >= 0) & (corr[r] >= 0) & (cur != corr[r])
         if conflict.any():
             object.__setattr__(btab, "_cmr_rows", None)
             return None
         pick = (cur < 0) & (corr[r] >= 0)
-        out[pick] = sc[r][pick]
         cur[pick] = corr[r][pick]
+        pcur[pick] = spec[r][pick]
     # involution gate: the register swap assumes mirror(mirror(m)) ~ m
     if hasattr(mat, "omega_vel"):  # device MaterialTables
         ov = np.asarray(mat.omega_vel)
@@ -286,11 +258,14 @@ def combined_mirror_rows(btab, mat) -> np.ndarray | None:
     prop_ok = back_ok & np.isclose(omega[bi], omega, rtol=1e-6) & np.all(
         np.isclose(v[bi], v, rtol=1e-6, atol=1e-9), axis=1
     )
-    bad = has & ~prop_ok
-    if bad.any():
-        out[bad, 0] = 0.0
-        out[bad, 1] = np.full(int(bad.sum()), -1, np.int32).view(np.float32)
-        out[bad, 2:6] = 0.0
+    good = has & prop_ok
+    cur = np.where(good, cur, -1)
+    cc = np.clip(cur, 0, M - 1)
+    out = np.zeros((M, 8), np.float32)
+    out[:, 0] = np.where(good, pcur, 0.0)
+    out[:, 1] = cur.astype(np.int32).view(np.float32)
+    out[:, 2] = np.where(good, omega[cc], 0.0)
+    out[:, 3:6] = np.where(good[:, None], v[cc], 0.0)
     object.__setattr__(btab, "_cmr_rows", out)
     return out
 
@@ -459,9 +434,9 @@ def build_boundary_tables(
             diffuse_cdf=jnp.ones((1, M), dtype=dtype),
             diffuse_prob=jnp.ones((1, M), dtype=dtype),
             diffuse_alias=jnp.zeros((1, M), dtype=jnp.int32),
-            spec_corr=jnp.asarray(_spec_ext(mat, spec0, corr0)),
-            diff_pa=jnp.asarray(
-                _diff_ext(mat, np.ones((1, M)), np.zeros((1, M), np.int64))
+            spec2=jnp.asarray(_combine_f32_i32(spec0, corr0)),
+            diff2=jnp.asarray(
+                _combine_f32_i32(np.ones((1, M)), np.zeros((1, M), np.int64))
             ),
             row_of_rough=jnp.zeros(0, dtype=jnp.int32),
             row_back=jnp.zeros(0, dtype=jnp.int32),
@@ -472,7 +447,6 @@ def build_boundary_tables(
         object.__setattr__(bt, "_host", {
             "specularity": spec0.astype(np.float32),
             "corr": corr0.astype(np.int32),
-            "spec_corr": _spec_ext(mat, spec0, corr0),
         })
         return bt
 
@@ -534,15 +508,14 @@ def build_boundary_tables(
         cdf[f] = c / c[-1]
         aprob[f], aidx[f] = build_alias(creation)
 
-    spec_ext = _spec_ext(mat, spec, corr)
     bt = BoundaryTables(
         specularity=jnp.asarray(spec, dtype=dtype),
         corr=jnp.asarray(corr, dtype=jnp.int32),
         diffuse_cdf=jnp.asarray(cdf, dtype=dtype),
         diffuse_prob=jnp.asarray(aprob, dtype=dtype),
         diffuse_alias=jnp.asarray(aidx, dtype=jnp.int32),
-        spec_corr=jnp.asarray(spec_ext),
-        diff_pa=jnp.asarray(_diff_ext(mat, aprob, aidx)),
+        spec2=jnp.asarray(_combine_f32_i32(spec, corr)),
+        diff2=jnp.asarray(_combine_f32_i32(aprob, aidx)),
         row_of_rough=jnp.asarray(row_of_rough, dtype=jnp.int32),
         row_back=jnp.asarray(row_back, dtype=jnp.int32),
         degen_partner=jnp.asarray(_degen_partner(mat), dtype=jnp.int32),
@@ -552,6 +525,5 @@ def build_boundary_tables(
     object.__setattr__(bt, "_host", {
         "specularity": spec.astype(np.float32),
         "corr": corr.astype(np.int32),
-        "spec_corr": spec_ext,
     })
     return bt

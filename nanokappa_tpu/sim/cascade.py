@@ -335,9 +335,15 @@ def run_event_buffer(
         round=jnp.zeros((), jnp.int32),
     )
 
+    if params.temp_interp == "nearest":
+        from nanokappa_tpu.sim.scatter import blend_tau_sv
+
+        tau_sv_blend = blend_tau_sv(mat, T_sv)
+    else:
+        tau_sv_blend = None
     body = partial(
         _event_round, geo=geo, mat=mat, btab=btab, params=params, R8=R8,
-        T_sv=T_sv,
+        T_sv=T_sv, tau_sv_blend=tau_sv_blend,
     )
 
     # ---- round 1 at full buffer width; most events finish here ---------------
@@ -474,6 +480,8 @@ def _event_round(
     params: SimParams,
     R8: int,
     T_sv: jax.Array,
+    tau_sv_blend: jax.Array | None = None,  # per-step (SV, M) lifetime
+    #   table (scatter.blend_tau_sv); None recomputes per call
 ) -> _Buf:
     dt = params.dt
     key = jax.random.fold_in(b.key, b.round)
@@ -543,9 +551,12 @@ def _event_round(
     else:
         row = jnp.zeros_like(i_rough)
     i32b = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
-    # ONE row gather yields the specularity decision AND the correspondence
-    # mode's cached omega/velocity (sim/boundary_tables.py _spec_ext)
-    sc = btab.spec_corr[row, b.mode]  # (E,8)
+    # narrow DECISION gathers from the per-normal tables (2 columns each),
+    # then ONE shared (M,4) omega_vel gather for the final mode — the old
+    # 8/10-column bundles that carried per-(normal, mode) copies of the
+    # outgoing properties cost 1.6 ms/step of gather traffic on the 31^3
+    # nanowire (and 18x NU*M*4 bytes of table memory)
+    sc = btab.spec2[row, b.mode]  # (E,2) [specularity, bitcast(corr)]
     p_spec = sc[:, 0]
     corr_m = i32b(sc[:, 1])
     u_spec = u4[:, 0]
@@ -554,16 +565,13 @@ def _event_round(
 
     mode_spec = jnp.where(spec, corr_m, b.mode)
 
-    # diffuse re-emission by Walker alias sampling; both alias outcomes'
-    # cached properties ride the same row (_diff_ext), so no follow-up
-    # omega_vel gather is needed on the velocity model
+    # diffuse re-emission by Walker alias sampling
     M = btab.diffuse_prob.shape[1]
     j = jnp.minimum((u4[:, 1] * M).astype(jnp.int32), M - 1)
     u = u4[:, 2]
-    pa = btab.diff_pa[row, j]  # (E,10)
+    pa = btab.diff2[row, j]  # (E,2) [alias prob, bitcast(alias idx)]
     accept = u < pa[:, 0]
     mode_diff = jnp.where(accept, j, i32b(pa[:, 1]))
-    ov_diff = jnp.where(accept[:, None], pa[:, 2:6], pa[:, 6:10])
 
     changed = spec | diff
     if params.scat_model in ("k", "wavevector", "wave_vector"):
@@ -571,24 +579,20 @@ def _event_round(
         u_deg = u4[:, 3]
         swap = spec & (partner >= 0) & (u_deg >= 0.5)
         mode_spec = jnp.where(swap, partner, mode_spec)
-        mode = jnp.where(spec, mode_spec, jnp.where(diff, mode_diff, b.mode))
-        # the degenerate-partner swap needs the partner's velocity — keep
-        # the (M,4) gather on this (k-model-only) path
-        ov = mat.omega_vel[mode]
-        omega_new = jnp.where(changed, ov[:, 0], b.omega)
-        vel_new = jnp.where(changed[:, None], ov[:, 1:4], b.vel)
-    else:
-        mode = jnp.where(spec, mode_spec, jnp.where(diff, mode_diff, b.mode))
-        ov4 = jnp.where(spec[:, None], sc[:, 2:6], ov_diff)
-        omega_new = jnp.where(changed, ov4[:, 0], b.omega)
-        vel_new = jnp.where(changed[:, None], ov4[:, 1:4], b.vel)
+    mode = jnp.where(spec, mode_spec, jnp.where(diff, mode_diff, b.mode))
+    ov = mat.omega_vel[mode]  # (E,4) hot shared table
+    omega_new = jnp.where(changed, ov[:, 0], b.omega)
+    vel_new = jnp.where(changed[:, None], ov[:, 1:4], b.vel)
 
     sv_here = subvol_id(geo, pos)
     T_wall = interp_T_particles(geo, T_sv, pos, sv_here, params.temp_interp)
     from nanokappa_tpu.sim.scatter import lifetime_by_sv, lifetime_lookup
 
     if params.temp_interp == "nearest":
-        tau_new = lifetime_by_sv(mat, T_sv, sv_here, mode)
+        # tau_sv_blend precomputed ONCE per step by run_event_buffer —
+        # this round runs up to k_max times inside a while_loop, and XLA
+        # does not hoist the (SV, M) blend out of it
+        tau_new = lifetime_by_sv(mat, T_sv, sv_here, mode, tau_sv=tau_sv_blend)
     else:
         tau_new = lifetime_lookup(mat, T_wall, mode)
     tau_new = jnp.where(changed, tau_new, b.tau)

@@ -412,7 +412,7 @@ def _mirror_rows(btab, mat, rows, T_sv, geo, params, sv=None):
     from nanokappa_tpu.sim.boundary_tables import combined_mirror_rows
 
     mode = _bc_i32(rows[:, C_MODE])
-    M = btab.spec_corr.shape[1]
+    M = btab.spec2.shape[1]
     mtab = jnp.asarray(combined_mirror_rows(btab, mat))
     sc = mtab[jnp.clip(mode, 0, M - 1)]  # (E, 8)
     corr = jax.lax.bitcast_convert_type(sc[:, 1], jnp.int32)

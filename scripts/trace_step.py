@@ -69,12 +69,20 @@ def main():
     else:
         run, state = build(n, mesh_pts, n_inner=20, res_gen=res_gen)
 
-    lowered = run.lower(state)
-    compiled = lowered.compile()
-    hlo = compiled.as_text()
-    with open("/tmp/nk_hlo.txt", "w") as f:
-        f.write(hlo)
-    print(f"HLO dumped ({len(hlo)} chars)", flush=True)
+    hlo = ""
+    if hasattr(run, "lower"):
+        lowered = run.lower(state)
+        compiled = lowered.compile()
+        hlo = compiled.as_text()
+        with open("/tmp/nk_hlo.txt", "w") as f:
+            f.write(hlo)
+        print(f"HLO dumped ({len(hlo)} chars)", flush=True)
+    else:
+        # big-table configs return a plain wrapper around the jitted
+        # parameterized program (sim/step.py _parameterize_tables); the
+        # per-op table still works, only source metadata is skipped
+        print("parameterized-tables runner (no .lower); skipping HLO dump",
+              flush=True)
 
     state, _ = run(state)
     state, _ = run(state)

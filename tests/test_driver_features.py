@@ -163,7 +163,7 @@ def test_boundary_tables_host_cache(small_material):
     )
     btab = build_boundary_tables(small_material, dom)
     assert hasattr(btab, "_host")
-    for name in ("specularity", "corr", "spec_corr"):
+    for name in ("specularity", "corr"):
         np.testing.assert_array_equal(
             _host_table(btab, name), np.asarray(getattr(btab, name))
         )
