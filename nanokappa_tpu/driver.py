@@ -519,6 +519,7 @@ class Simulation:
                             self.geo, self.btab, self.params, self.mtab
                         ),
                         self.params.n_cap // max(1, self.params.n_shards),
+                        btab=self.btab,
                     )
                     grown = getattr(self, "_evt_regrows", 0)
                     new_cap = min(2 * cur, self.params.n_cap // 4)

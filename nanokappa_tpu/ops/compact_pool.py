@@ -131,11 +131,13 @@ def compact_pool(
     C, NR, L = pool3.shape
     N = NR * L
     bn = tile_width(N)
-    assert C in (16, 18, 24) and bn is not None and bn // 8 == L, (C, NR, L)
+    assert C in (16, 18, 24) and bn is not None and bn // 8 == L, (
+        C, NR, L,
+    )
     Cp = ((C + 7) // 8) * 8  # sublane-aligned row count for the flat DMA
     nb = N // bn
     use_mirror = mirror3 is not None
-    # an 18/24-row pool already carries the (slim) mirror inside itself
+    # an 18/24-row pool already carries its extra rows inside itself
     assert not (use_mirror and C in (18, 24))
 
     alive_row = pool3[C_ALIVE] > 0.5  # (NR, L)

@@ -28,8 +28,16 @@ cost 0.24 ms/step at N=1.25e6). Per tile, entirely in VMEM:
      mirror_eligible) SPECULAR reflections off eta = 0 walls — a pure
      register swap of (mode, omega, vel, tau) with the cached
      correspondence partner plus the occupation re-reference
-     (reference Population.py:941-971, 1463-1489, 1565-1608); the
-     energy/flux ledger accumulates on the MXU at Precision.HIGHEST,
+     (reference Population.py:941-971, 1463-1489, 1565-1608) — and (on
+     rough eta > 0 walls, sim/fused.py dkern_active) DIFFUSE re-emission:
+     a hardware-PRNG Bernoulli against the in-register Ziman specularity
+     (from the pool's |k|^2 and corr-bitmask rows) followed by a full mode
+     replacement from a presampled window block (sim/diffuse_pool.py) —
+     occupation reset to BE(T_wall), slope-form lifetime, family resolved
+     by ONE sublane dynamic_gather per channel (reference
+     Population.py:879-1015); specular winners export FLAGGED so the
+     narrow machinery honours the kernel's draw instead of redrawing;
+     the energy/flux ledger accumulates on the MXU at Precision.HIGHEST,
   5. compaction of the still-pending events (reflections and deep chains)
      into 128-aligned segments of ONE global index buffer via a running SMEM
      offset (the TPU grid is sequential). Exported lanes are marked DEAD in
@@ -288,19 +296,32 @@ def _tri_raycast(pos, vel, exclude, tables, do):
 
 
 def _kernel(
-    tsv_ref,  # (4, SVP) f32 SMEM: row 0 subvolume temperatures, rows 1-3
+    *refs,  # [dk_off_ref (scalar prefetch, dkern only),] tsv_ref, rta_ref,
+    #   in_ref, [win_ref (dkern only),] out_ref, evt_hbm, cnt_ref,
+    #   ledger_ref, bins_ref, acc_ref, bacc_ref, [evt_s,] off_ref, sem
+    #
+    # tsv_ref: (4, SVP) f32 SMEM — row 0 subvolume temperatures, rows 1-3
     #   subvolume centre x/y/z (padded; centres feed the beyond-unroll
     #   nearest-centre argmin loop)
-    rta_ref,  # (1, 1) i32 SMEM: apply deferred RTA this step?
-    in_ref,  # (C, 8, BN8) packed tile (a block of the (C, NR, L) pool);
+    # rta_ref: (1, 1|2) i32 SMEM — [apply deferred RTA this step?
+    #   (, per-step PRNG seed on the dkern path)]
+    # in_ref: (C, 8, BN8) packed tile (a block of the (C, NR, L) pool);
     #   C = 24 on the mirror fast path — the specular-mirror cache rides as
     #   rows 16..23 of the SAME array (sim/state.py X_* columns + 16), so
-    #   one block spec / one DMA stream / one append window serves both
-    *rest,  # out_ref, evt_hbm, cnt_ref, ledger_ref, bins_ref, acc_ref,
-    #   bacc_ref, [evt_s,] off_ref, sem
+    #   one block spec / one DMA stream / one append window serves both;
+    #   C = 18 with dk set (in-kernel diffuse) — row 16 carries |k|^2 of
+    #   each lane's mode (the Ziman specularity evaluates in-register) and
+    #   row 17 its correspondence-existence bitmask
+    # win_ref: (CHT, 1, L) presample block (sim/diffuse_pool.py), rotated
+    #   per step/tile by the scalar-prefetched block offset
     tables: dict,
     cfg: dict,
 ):
+    if cfg["dkern"]:
+        (_dk_off_ref, tsv_ref, rta_ref, in_ref, win_ref, *rest) = refs
+    else:
+        (tsv_ref, rta_ref, in_ref, *rest) = refs
+        win_ref = None
     (out_ref, evt_hbm, cnt_ref, ledger_ref, bins_ref, *tail_refs) = rest
     if cfg["export_rows"]:
         # evt_hbm is the VMEM-resident (16, ecap + 2*w_exp) rows output
@@ -358,6 +379,27 @@ def _kernel(
     onf = i32(in_ref[C_ONF])
     rem_col = in_ref[C_REM]
     alive = (in_ref[C_ALIVE] > 0.5) & in_pool
+    if cfg["dkern"]:
+        # |k|^2 of each lane's current mode (row 16): the Ziman specularity
+        # p = exp(-(2 eta cos)^2 k^2) then evaluates in-register at any wall
+        # (sim/boundary_tables.py _specularity semantics), so the rough-wall
+        # Bernoulli needs NO (NU, M) table gather. Row 17 carries the mode's
+        # correspondence-EXISTENCE bitmask over the NU table rows (as a
+        # float value < 256): a mode with no specular partner at a wall
+        # ALWAYS diffuses there (the reference zeroes its specularity,
+        # sim/boundary_tables.py 'true specularity'), so its Bernoulli is
+        # skipped instead of exporting a flagged lane the machinery would
+        # just diffuse anyway.
+        k2p = in_ref[16]
+        cmaskp = in_ref[17]
+        if not cfg["interpret"]:
+            pltpu.prng_seed(rta_ref[0, 1], b)
+        # lanes that already DECIDED specular in an earlier step but could
+        # not export (event-buffer clamp) arrive flagged with C_TCOLL = -2
+        # (see the export block below); they sit at their wall undecided-no-
+        # more — skip the Bernoulli, keep them pending for export
+        sflag = alive & (t_coll < -1.5)
+        t_coll = jnp.where(sflag, 0.0, t_coll)
     if cfg["slim"]:
         # SLIM specular-mirror cache (sim/boundary_tables.py
         # slim_mirror_axis): the correspondence partner is the exact
@@ -450,38 +492,46 @@ def _kernel(
     # skipped for STALE lanes (injected THIS step — they did not exist when
     # the deferred update was due) and on the very first step (rta_ref == 0)
     SV = cfg["n_subvols"]
-    sv_c = jnp.clip(sv, 0, SV - 1)
-    if cfg["temp_interp"] == "linear":
-        # uniform slice centres: index arithmetic + lerp with extrapolation
-        # (sim/binning.py:49-59)
-        ax = cfg["slice_axis"]
-        pa = (px, py, pz)[ax]
-        fpos = (pa - cfg["c0"]) / cfg["dc"]
-        ilo = jnp.clip(fpos.astype(jnp.int32), 0, SV - 2)
-        ilo = jnp.where(fpos < 0, 0, ilo)
-        w = fpos - ilo.astype(f32)
-        if SV <= _UNROLL_T:
-            T_lo = jnp.zeros(SH, f32)
-            T_hi = jnp.zeros(SH, f32)
-            for s in range(SV):
-                tv = tsv_ref[0, s]
-                T_lo = jnp.where(ilo == s, tv, T_lo)
-                T_hi = jnp.where(ilo + 1 == s, tv, T_hi)
-        else:
-            def _tbody(s, carry):
-                lo, hi = carry
-                tv = tsv_ref[0, s]
-                return (
-                    jnp.where(ilo == s, tv, lo),
-                    jnp.where(ilo + 1 == s, tv, hi),
-                )
 
-            T_lo, T_hi = jax.lax.fori_loop(
-                0, SV, _tbody, (jnp.zeros(SH, f32), jnp.zeros(SH, f32))
-            )
-        T_p = T_lo * (1.0 - w) + T_hi * w
-    else:  # nearest
-        T_p = _gather_tsv(tsv_ref, sv_c, SV, SH)
+    def _T_interp(qx, qy, qz, sv_q=None):
+        # particle temperature at (qx, qy, qz) with params.temp_interp
+        # semantics (sim/binning.py interp_T_particles) — shared by the
+        # deferred RTA and the in-kernel diffuse branch (wall temperature)
+        if cfg["temp_interp"] == "linear":
+            # uniform slice centres: index arithmetic + lerp with
+            # extrapolation (sim/binning.py:49-59)
+            ax = cfg["slice_axis"]
+            pa = (qx, qy, qz)[ax]
+            fpos = (pa - cfg["c0"]) / cfg["dc"]
+            ilo = jnp.clip(fpos.astype(jnp.int32), 0, SV - 2)
+            ilo = jnp.where(fpos < 0, 0, ilo)
+            w = fpos - ilo.astype(f32)
+            if SV <= _UNROLL_T:
+                T_lo = jnp.zeros(SH, f32)
+                T_hi = jnp.zeros(SH, f32)
+                for s in range(SV):
+                    tv = tsv_ref[0, s]
+                    T_lo = jnp.where(ilo == s, tv, T_lo)
+                    T_hi = jnp.where(ilo + 1 == s, tv, T_hi)
+            else:
+                def _tbody(s, carry):
+                    lo, hi = carry
+                    tv = tsv_ref[0, s]
+                    return (
+                        jnp.where(ilo == s, tv, lo),
+                        jnp.where(ilo + 1 == s, tv, hi),
+                    )
+
+                T_lo, T_hi = jax.lax.fori_loop(
+                    0, SV, _tbody, (jnp.zeros(SH, f32), jnp.zeros(SH, f32))
+                )
+            return T_lo * (1.0 - w) + T_hi * w
+        # nearest
+        if sv_q is None:
+            sv_q = _sv_of(qx, qy, qz)
+        return _gather_tsv(tsv_ref, jnp.clip(sv_q, 0, SV - 1), SV, SH)
+
+    T_p = _T_interp(px, py, pz, sv_q=sv)
 
     g = occupation_delta_T_k(T_p, t_ref, omega)
     if cfg["use_mirror"]:
@@ -656,8 +706,146 @@ def _kernel(
                 vz, m_vz = sw(vz, m_vz)
                 onf = jnp.where(rfl, cf, onf)
 
+        # in-kernel DIFFUSE reflection (rough walls, eta > 0): Bernoulli
+        # against the in-register Ziman specularity, then a full mode
+        # replacement from this tile's presample block (sim/diffuse_pool.py)
+        # — occupation reset to BE(T_wall) and the slope-form lifetime, all
+        # without a single mode-table gather (reference semantics:
+        # classes/Population.py:941-1015 diffuse branch). Specular winners
+        # are NOT resolved here (a general mesh has several wall normals —
+        # no per-lane correspondence cache); they export to the narrow
+        # machinery FLAGGED (C_TCOLL = -2) so its Bernoulli is skipped and
+        # the in-kernel draw is the one and only draw (no double-draw bias).
+        # Both unrolled rounds resolve diffuse (round 1 reads its window
+        # entries LANE-ROLLED so a twice-diffusing lane draws a different
+        # presample); only 3+-bounce chains export.
+        dff = jnp.zeros(SH, bool)
+        if cfg["dkern"]:
+            is_rgh = jnp.zeros(SH, bool)
+            eta_l = jnp.zeros(SH, f32)
+            rowsel = jnp.zeros(SH, jnp.int32)
+            rnx = jnp.zeros(SH, f32)
+            rny = jnp.zeros(SH, f32)
+            rnz = jnp.zeros(SH, f32)
+            for f in range(F):
+                if not tables["is_rough"][f]:
+                    continue
+                sel = cf == f
+                is_rgh = is_rgh | sel
+                eta_l = jnp.where(sel, float(cfg["dk_facet_eta"][f]), eta_l)
+                rowsel = jnp.where(sel, int(cfg["dk_facet_row"][f]), rowsel)
+                nrm = tables["normal"][f]
+                if abs(float(nrm[0])) > 1e-12:
+                    rnx = jnp.where(sel, float(nrm[0]), rnx)
+                if abs(float(nrm[1])) > 1e-12:
+                    rny = jnp.where(sel, float(nrm[1]), rny)
+                if abs(float(nrm[2])) > 1e-12:
+                    rnz = jnp.where(sel, float(nrm[2]), rnz)
+            vdn_r = vx * rnx + vy * rny + vz * rnz
+            if cfg["dk_two_sided"]:
+                # internal rough membranes are hit from BOTH sides: a
+                # back-side hit (v against the stored normal) uses the
+                # table row built for the flipped normal
+                # (sim/boundary_tables.py row_back)
+                rback = jnp.zeros(SH, jnp.int32)
+                for f in range(F):
+                    if tables["is_rough"][f]:
+                        rback = jnp.where(
+                            cf == f, int(cfg["dk_facet_row_back"][f]), rback
+                        )
+                rowsel = jnp.where(vdn_r < 0.0, rback, rowsel)
+            # Ziman p = exp(-(2 eta cos)^2 |k|^2), cos = v.n / |v|
+            # (sim/boundary_tables.py _specularity)
+            v2 = vx * vx + vy * vy + vz * vz
+            cos2 = (vdn_r * vdn_r) / jnp.maximum(v2, 1e-30)
+            p_spec = jnp.exp(-4.0 * eta_l * eta_l * cos2 * k2p)
+            # TRUE specularity: zero where the mode has no correspondence
+            # partner at this wall row (always-diffuse, reference
+            # classes/Population.py:941-988 via the zeroed table)
+            has_corr = (
+                jax.lax.shift_right_logical(
+                    cmaskp.astype(jnp.int32), rowsel
+                ) & 1
+            ) == 1
+            p_spec = jnp.where(has_corr, p_spec, 0.0)
+            if cfg["interpret"]:
+                # interpret mode has no pltpu PRNG lowering: a counter-based
+                # integer hash of (lane, seed, round) gives test-grade
+                # uniforms (the compiled path always uses the hardware PRNG)
+                h = gidx ^ (
+                    rta_ref[0, 1] * 1000003 + b * 7919 + _round * 104729
+                )
+                h = (h * 0x27D4EB2F) ^ (h >> 15)
+                h = (h * 0x165667B1) ^ (h >> 13)
+                bits = h
+            else:
+                bits = pltpu.prng_random_bits(SH)
+            # low 24 bits as a [0, 1) uniform — prng_random_bits returns
+            # SIGNED int32 on this jax version, so a plain >> would be an
+            # arithmetic shift and leave half the draws negative (every
+            # such lane would flag specular)
+            u = (bits & 0xFFFFFF).astype(f32) * (1.0 / (1 << 24))
+            # wall temperature with params.temp_interp semantics (the
+            # reference resets occupation to BE at the particle-interpolated
+            # local T, classes/Population.py:984-988)
+            T_w = _T_interp(px, py, pz)
+            in_rng = (T_w >= cfg["dk_tlo"]) & (T_w <= cfg["dk_thi"])
+            undecided = pend & is_rgh & ~sflag
+            dff = undecided & (u >= p_spec) & in_rng
+            # decided-specular: flag for export (the narrow machinery takes
+            # the flag as THE Bernoulli outcome); out-of-range lanes export
+            # unflagged (their in-kernel draw is discarded unconsumed — the
+            # machinery redraws, which is unbiased because nothing here
+            # depended on u for those lanes)
+            sflag = sflag | (undecided & (u < p_spec) & in_rng)
+
+            # presample replacement: each channel's 8-family table is ONE
+            # (8, L) vreg; the per-lane family resolves with ONE sublane
+            # dynamic_gather (tpu.dynamic_gather dims=[0] — the gather
+            # axis is exactly one vreg of sublanes, the supported case).
+            # Round 1 reads lane-ROLLED entries (static shift —
+            # bit-preserving) so a lane diffusing twice in one step draws
+            # independently.
+            def wch(ch):
+                src = win_ref[0, ch]  # (8, L) family-major table
+                v = jnp.take_along_axis(src, rowsel, axis=0)
+                if _round > 0:
+                    v = pltpu.roll(v, 29 * _round, axis=1)
+                return v
+
+            n_mode = wch(0)  # mode id as a float VALUE (exact < 2^24)
+            n_omega = wch(1)
+            n_vx = wch(2)
+            n_vy = wch(3)
+            n_vz = wch(4)
+            n_k2 = wch(5)
+            n_cmask = wch(6)
+            a_t = wch(7)
+            b_t = wch(8)
+            if cfg["dk_nbins"] == 2:
+                hi_bin = T_w >= cfg["dk_tsplit"]
+                a_t = jnp.where(hi_bin, wch(9), a_t)
+                b_t = jnp.where(hi_bin, wch(10), b_t)
+            T_ev = jnp.clip(T_w, cfg["dk_clamp_lo"], cfg["dk_clamp_hi"])
+            n_tau = a_t + b_t * T_ev
+
+            dev = jnp.where(
+                dff, occupation_delta_T_k(T_w, t_ref, n_omega), dev
+            )
+            mode_b = jnp.where(
+                dff, bc32(n_mode.astype(jnp.int32)), mode_b
+            )
+            omega = jnp.where(dff, n_omega, omega)
+            vx = jnp.where(dff, n_vx, vx)
+            vy = jnp.where(dff, n_vy, vy)
+            vz = jnp.where(dff, n_vz, vz)
+            k2p = jnp.where(dff, n_k2, k2p)
+            cmaskp = jnp.where(dff, n_cmask, cmaskp)
+            tau = jnp.where(dff, n_tau, tau)
+            onf = jnp.where(dff, cf, onf)
+
         # re-cast + drift the remainder for translated/reflected lanes
-        mv = per | rfl
+        mv = per | rfl | dff
         t_b, f_b = _cast((px, py, pz), (vx, vy, vz), onf, tables, mv)
         t_coll = jnp.where(mv, t_b / dt, t_coll)
         cf = jnp.where(mv, f_b, cf)
@@ -691,6 +879,13 @@ def _kernel(
         acc_ref[:, :] = acc_ref[:, :] + jnp.concatenate(
             [led, jnp.zeros((R8, 128 - 5), jnp.float32)], axis=1
         )
+
+    if cfg["dkern"]:
+        # decided-specular lanes carry the flag OUT (C_TCOLL = -2): exported
+        # rows tell the narrow machinery to skip its Bernoulli; lanes the
+        # event-buffer clamp freezes keep the flag in the pool and re-enter
+        # this kernel already decided next step
+        t_coll = jnp.where(sflag, -2.0, t_coll)
 
     # ---- 5. pending events -> a GLOBAL 128-aligned segment ------------------
     # The TPU grid runs sequentially, so a running SMEM offset chains the
@@ -796,7 +991,10 @@ def _kernel(
         ]
     ):
         out_ref[c] = v
-    if cfg["slim"]:
+    if cfg["dkern"]:
+        out_ref[16] = k2p
+        out_ref[17] = cmaskp
+    elif cfg["slim"]:
         out_ref[16] = m_mode_b
         out_ref[17] = tau_b
     elif cfg["use_mirror"]:
@@ -894,6 +1092,11 @@ def drift_megastep(
     #   in-kernel periodic/absorb rounds are disabled, and EVERY boundary
     #   event exports to the narrow machinery (which runs the Pallas
     #   large-mesh ray cast, ops/raycast_pallas.py)
+    dk: dict | None = None,  # in-kernel diffuse reflection (C = 18 pools):
+    #   {'window': (CHT, NB, L) presample pool, 'off': (1,) i32 per-step
+    #   block offset, 'seed': () i32 per-step PRNG seed, 'pool': DiffusePool
+    #   (static metadata), 'facet_eta'/'facet_row'/'facet_row_back': (F,)
+    #   host arrays, 'two_sided': bool} — see sim/diffuse_pool.py
 ):
     """Returns (pool3' (C, NR, L), evt_buf, pend_counts (nb,) i32,
     alive_counts (nb,) i32, starts (nb,) i32, kept (nb,) i32, ledger (8, 5)
@@ -916,9 +1119,16 @@ def drift_megastep(
     C, NR, L = pool3.shape
     N = NR * L
     bn = tile_width(N)
-    assert C in (16, 18, 24) and bn is not None and bn // 8 == L, (C, NR, L)
-    use_mirror = C >= 18
-    slim = C == 18  # slim mirror cache (boundary_tables.slim_mirror_axis)
+    assert C in (16, 18, 24) and bn is not None and bn // 8 == L, (
+        C, NR, L,
+    )
+    # C == 18 is EITHER the slim mirror cache OR the in-kernel diffuse pool
+    # (rows 16 = |k|^2, 17 = corr bitmask) — the dk parameter disambiguates
+    dkern = dk is not None
+    if dkern:
+        assert C == 18, C
+    use_mirror = C >= 18 and not dkern
+    slim = C == 18 and not dkern  # slim cache (boundary_tables.slim_mirror_axis)
     bn8 = L
     nb = N // bn
     SV = int(T_sv.shape[0])
@@ -972,7 +1182,11 @@ def drift_megastep(
         # without it the extra facet-select pass isn't worth it. With
         # kernel_cast off no in-kernel round can run (an event resolution
         # needs a re-cast the kernel cannot do)
-        u_rounds=0 if not kernel_cast else (2 if use_mirror else 1),
+        u_rounds=0 if not kernel_cast else (
+            2 if (use_mirror or dkern) else 1
+        ),
+        dkern=dkern,
+        interpret=bool(interpret),
         kernel_cast=bool(kernel_cast),
         sv_mode="slice" if geo.subvol_type == "slice" else "nearest",
         # immediate-constant centres only inside the unroll budget; bigger
@@ -995,6 +1209,25 @@ def drift_megastep(
         lo_b=float(bounds[0, ax]),
         inv_len=float(SV / (bounds[1, ax] - bounds[0, ax])),
     )
+    if dkern:
+        dpool = dk["pool"]
+        assert dk["window"].shape == (dpool.nb, dpool.chf, 8, L), (
+            dk["window"].shape, dpool.nb, dpool.chf, L,
+        )
+        cfg.update(
+            dk_nu=int(dpool.nu),
+            dk_chf=int(dpool.chf),
+            dk_nbins=int(dpool.n_bins),
+            dk_tsplit=float(dpool.t_split),
+            dk_tlo=float(max(dpool.t_lo, -3.0e38)),
+            dk_thi=float(min(dpool.t_hi, 3.0e38)),
+            dk_clamp_lo=float(dpool.t_clamp_lo),
+            dk_clamp_hi=float(dpool.t_clamp_hi),
+            dk_facet_eta=np.asarray(dk["facet_eta"]),
+            dk_facet_row=np.asarray(dk["facet_row"]),
+            dk_facet_row_back=np.asarray(dk["facet_row_back"]),
+            dk_two_sided=bool(dk["two_sided"]),
+        )
     if slim:
         # in-register reflection axis: the single axis-aligned rough-wall
         # family the slim gate (boundary_tables.slim_mirror_axis) verified
@@ -1014,7 +1247,17 @@ def drift_megastep(
         .at[0, :SV].set(T_sv)
         .at[1:4, :SV].set(jnp.asarray(center.T, jnp.float32))
     )
-    rta = jnp.asarray(rta_on, jnp.int32).reshape(1, 1)
+    if dkern:
+        # rta row also carries the per-step PRNG seed (mixed with the tile
+        # index in-kernel)
+        rta = jnp.stack(
+            [
+                jnp.asarray(rta_on, jnp.int32).reshape(()),
+                jnp.asarray(dk["seed"], jnp.int32).reshape(()),
+            ]
+        ).reshape(1, 2)
+    else:
+        rta = jnp.asarray(rta_on, jnp.int32).reshape(1, 1)
     if ecap <= 0:
         ecap = max(2048, -(-(N // 64) // 128) * 128)
     assert ecap % 128 == 0
@@ -1023,33 +1266,60 @@ def drift_megastep(
     cfg["w_exp"] = w_exp
     cfg["export_rows"] = bool(export_rows)
 
+    # every index map tolerates the trailing scalar-prefetch ref the dkern
+    # path adds (PrefetchScalarGridSpec passes it after the grid indices)
     pool_spec = pl.BlockSpec(
-        (C, 8, bn8), lambda b: (0, b, 0), memory_space=pltpu.VMEM
+        (C, 8, bn8), lambda b, *_: (0, b, 0), memory_space=pltpu.VMEM
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # T_sv: scalar reads
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pool_spec,
     ]
+    operands = [tsv, rta, pool3]
+    n_prefetch = 0
+    if dkern:
+        # presample window: ONE (CHT, 1, L) block per tile, rotated through
+        # the (CHT, NB, L) pool by scalar-prefetched per-TILE block indices
+        # (the canonical PrefetchScalarGridSpec pattern — index maps stay a
+        # plain array read; modulo arithmetic in an index_map is rejected)
+        NBd = int(dk["pool"].nb)
+        CHFd = int(dk["window"].shape[1])
+        in_specs.append(
+            pl.BlockSpec(
+                (1, CHFd, 8, L),
+                lambda b, off_ref: (off_ref[b], 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        blk_off = jax.lax.rem(
+            jnp.asarray(dk["off"], jnp.int32).reshape(())
+            + jnp.arange(nb, dtype=jnp.int32),
+            jnp.int32(NBd),
+        )
+        operands = [blk_off] + operands
+        operands.append(dk["window"])
+        n_prefetch = 1
     out_specs = [pool_spec]
     out_shape = [jax.ShapeDtypeStruct((C, NR, L), jnp.float32)]
-    aliases = {2: 0}
-    operands = [tsv, rta, pool3]
+    # alias the pool operand onto the pool output (operand index counts the
+    # scalar-prefetch operand)
+    aliases = {2 + n_prefetch: 0}
     out_specs += [
         (
             # rows output: ONE VMEM-resident block revisited by every grid
             # step — rows merge in place, written back once at the end
             pl.BlockSpec(
-                (C, ecap + 2 * w_exp), lambda b: (0, 0),
+                (C, ecap + 2 * w_exp), lambda b, *_: (0, 0),
                 memory_space=pltpu.VMEM,
             )
             if export_rows
             else pl.BlockSpec(memory_space=pl.ANY)  # evt idx: manual DMA
         ),
         pl.BlockSpec(memory_space=pltpu.SMEM),  # counts: whole array
-        pl.BlockSpec((8, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, 128), lambda b, *_: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (SV8, 128), lambda b: (0, 0), memory_space=pltpu.VMEM
+            (SV8, 128), lambda b, *_: (0, 0), memory_space=pltpu.VMEM
         ),
     ]
     evt_shape = (
@@ -1069,7 +1339,7 @@ def drift_megastep(
             jax.ShapeDtypeStruct(o.shape, o.dtype, **kw) for o in out_shape
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=n_prefetch,
         grid=(nb,),
         in_specs=in_specs,
         out_specs=out_specs,

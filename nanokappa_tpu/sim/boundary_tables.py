@@ -491,6 +491,7 @@ def build_boundary_tables(
     cdf = np.zeros((NU, M))
     aprob = np.zeros((NU, M))
     aidx = np.zeros((NU, M), dtype=np.int64)
+    creations = []
     for f in range(NU):
         vdn = v @ u_normals[f]  # outward
         creation = np.maximum(-vdn, 0.0)  # modes leaving the wall into the domain
@@ -504,6 +505,7 @@ def build_boundary_tables(
             avg = 0.5 * (creation + creation[np.where(has, dp, 0)])
             creation = np.where(has, avg, creation)
         creation = np.maximum(np.round(creation, 10), 0.0)
+        creations.append(creation)
         c = np.cumsum(creation)
         cdf[f] = c / c[-1]
         aprob[f], aidx[f] = build_alias(creation)
@@ -525,5 +527,14 @@ def build_boundary_tables(
     object.__setattr__(bt, "_host", {
         "specularity": spec.astype(np.float32),
         "corr": corr.astype(np.int32),
+        # host copies for the in-kernel diffuse presample builder
+        # (sim/diffuse_pool.py): the per-row creation-rate weights and their
+        # Walker alias tables, and the per-row unique normals (the kernel's
+        # v.n incidence math needs them per rough facet)
+        "creation": np.stack(creations, axis=0).astype(np.float64),
+        "aprob": aprob.astype(np.float64),
+        "aidx": aidx.astype(np.int64),
+        "u_normals": u_normals.astype(np.float64),
+        "u_eta": u_eta.astype(np.float64),
     })
     return bt

@@ -347,7 +347,14 @@ def run_event_buffer(
     )
 
     # ---- round 1 at full buffer width; most events finish here ---------------
-    buf1 = body(buf)
+    # FORCED-specular lanes (C_TCOLL = -2): the drift mega-kernel's
+    # in-register Bernoulli already decided these lanes reflect specularly
+    # (ops/megastep.py dkern branch) — honouring the flag instead of
+    # redrawing keeps the total specular probability exactly p (a redraw
+    # would compose to p^2 / added diffuse mass). Only round 1 sees flags:
+    # later rounds are fresh wall hits with fresh decisions.
+    forced1 = vbuf & (rows[:, C_TCOLL] < -1.5)
+    buf1 = body(buf, forced=forced1)
 
     # ---- rounds 2+ on a re-compacted narrow buffer (survivors: lanes that
     # hit ANOTHER wall within the same dt. With the in-kernel mirror path
@@ -482,6 +489,8 @@ def _event_round(
     T_sv: jax.Array,
     tau_sv_blend: jax.Array | None = None,  # per-step (SV, M) lifetime
     #   table (scatter.blend_tau_sv); None recomputes per call
+    forced: jax.Array | None = None,  # lanes whose specular Bernoulli was
+    #   already WON in the drift kernel (run_event_buffer round 1 only)
 ) -> _Buf:
     dt = params.dt
     key = jax.random.fold_in(b.key, b.round)
@@ -560,7 +569,11 @@ def _event_round(
     p_spec = sc[:, 0]
     corr_m = i32b(sc[:, 1])
     u_spec = u4[:, 0]
-    spec = ref & (u_spec <= p_spec) & (corr_m >= 0)
+    bern = u_spec <= p_spec
+    if forced is not None:
+        bern = bern | forced  # no-corr forced lanes still fall to diffuse,
+        #   exactly the reference's always-diffuse rule for unmapped modes
+    spec = ref & bern & (corr_m >= 0)
     diff = ref & ~spec
 
     mode_spec = jnp.where(spec, corr_m, b.mode)

@@ -93,7 +93,96 @@ def kernel_cast_ok(geo) -> bool:
     return geo.is_box or int(geo.tri_origin.shape[0]) <= TRI_KERNEL_MAX
 
 
-def autosize_evt_cap(geo, mat, params, use_mirror: bool, N_shard: int) -> int:
+def dkern_active(geo, btab, params, mat, N_shard: int):
+    """The in-kernel diffuse-reflection gate: returns the (cached)
+    DiffusePool when the drift mega-kernel resolves rough-wall DIFFUSE
+    reflections in-register (sim/diffuse_pool.py), else None.
+
+    Active when the fused step casts in-kernel, the mirror fast path is NOT
+    (eta > 0 walls — mutually exclusive by construction: mirror_eligible
+    requires eta = 0 everywhere), there are rough walls with at most 8
+    unique table rows, and the static temperature envelope spans <= 2
+    lifetime-grid bins (build_diffuse_pool returns None otherwise).
+    NANOKAPPA_NO_DKERN=1 disables the path (exact fallback: every rough hit
+    exports to the narrow machinery, the round-4 behaviour)."""
+    import os
+
+    if os.environ.get("NANOKAPPA_NO_DKERN"):
+        return None
+    if btab is None or mat is None or int(btab.n_rough) == 0:
+        return None
+    if not kernel_cast_ok(geo):
+        return None
+    if mirror_eligible(geo, btab, params, mat):
+        return None
+    from nanokappa_tpu.ops.megastep import tile_width
+    from nanokappa_tpu.sim.diffuse_pool import build_diffuse_pool
+
+    bn = tile_width(N_shard)
+    if bn is None:
+        return None
+    L = bn // 8
+    n_tiles = N_shard // bn
+    key = f"_dpool_{L}_{n_tiles}_{params.t_reference}"
+    _MISSING = object()
+    cached = getattr(btab, key, _MISSING)
+    if cached is not _MISSING:
+        return cached
+    pool = build_diffuse_pool(geo, btab, mat, params, L, n_tiles)
+    object.__setattr__(btab, key, pool)
+    return pool
+
+
+def dkern_mode_rows(btab, mat) -> jax.Array:
+    """(M, 2) device table of the dkern pool's mode-derived rows:
+    [|k|^2 (Ziman specularity), corr-existence bitmask over the NU table
+    rows (float value < 256)]. Gathered per mode wherever a lane's mode is
+    (re)set outside the kernel."""
+    import numpy as np
+
+    corr_h = btab._host["corr"]  # (NU, M)
+    cm = np.zeros(corr_h.shape[1], np.float32)
+    for f in range(corr_h.shape[0]):
+        cm += (corr_h[f] >= 0).astype(np.float32) * float(1 << f)
+    return jnp.stack(
+        [
+            jnp.sum(mat.wavevector * mat.wavevector, axis=1),
+            jnp.asarray(cm),
+        ],
+        axis=1,
+    )
+
+
+def _dkern_facet_tables(geo, btab):
+    """Per-FACET static tables for the kernel's rough-wall branch:
+    (eta, front row, back row, two_sided) — facet-indexed so the kernel's
+    static facet unroll can bake them as immediates."""
+    import numpy as np
+
+    from nanokappa_tpu.geometry.domain import BC
+
+    bc = np.asarray(geo.facet_bc)
+    F = len(bc)
+    eta = np.nan_to_num(np.asarray(geo.facet_value)).astype(np.float64)
+    row_f = np.zeros(F, np.int64)
+    row_b = np.zeros(F, np.int64)
+    fr = np.asarray(geo.facet_rough)
+    row_of = np.asarray(btab.row_of_rough)
+    row_back = np.asarray(btab.row_back)
+    for f in np.nonzero(bc == int(BC.ROUGH))[0]:
+        row_f[f] = row_of[fr[f]]
+        row_b[f] = row_back[fr[f]]
+    return dict(
+        facet_eta=eta,
+        facet_row=row_f,
+        facet_row_back=row_b,
+        two_sided=bool(np.any(row_f != row_b)),
+    )
+
+
+def autosize_evt_cap(
+    geo, mat, params, use_mirror: bool, N_shard: int, btab=None
+) -> int:
     """Default event-buffer width for the fused step.
 
     Mirror path: exports are 3+-bounce chains and no-correspondence lanes
@@ -103,13 +192,17 @@ def autosize_evt_cap(geo, mat, params, use_mirror: bool, N_shard: int) -> int:
     so the width must track the kinetic wall-collision rate
     rate = A_rough * vbar * dt / (4 V) (collisions per particle per step —
     kinetic theory; thin nanowires reach ~5%/step where the round-3 N/64
-    default silently froze an ever-growing backlog). 1.5x margin, clamped
-    to [old N/64 floor, N/8]: the kinetic estimate itself measures ~1.27x
-    above the realised steady rate (26.5k events/step vs 33.7k estimated
-    on the 1e6 nanowire), every wide-stage op scales with this width
-    (~2.2 ms/step of the wire's 6.6 at the old 2x), occasional overflow
-    only freezes lanes for one step, and the driver's storm adaptation
-    grows the cap on sustained overflow.
+    default silently froze an ever-growing backlog). The kinetic estimate
+    itself IS the margin: it consistently measures ~1.27x above the
+    realised steady rate (round 4: 26.5k realised vs 33.7k estimated on
+    the 8^3-table wire; round 5: ~32k realised vs 40.7k estimated on the
+    31^3 wire — safe at 0.91x estimate with zero frozen lanes, catastrophic
+    backlog at 0.74x), so the cap is 1.0x the estimate, clamped to
+    [old N/64 floor, N/8]. The old 1.5x margin on top cost ~1.6 ms/step of
+    width-scaled narrow-stage work on the 1e6 wire (6.8 -> 5.1 ms/step
+    measured at 1.0x). Occasional overflow only freezes lanes for one
+    step, and the driver's storm adaptation grows the cap on sustained
+    overflow.
 
     kernel_cast-off path (large meshes): EVERY boundary hit exports —
     periodic and absorbing included — so the kinetic rate uses the TOTAL
@@ -139,7 +232,34 @@ def autosize_evt_cap(geo, mat, params, use_mirror: bool, N_shard: int) -> int:
     v = np.linalg.norm(ov[:, 1:4], axis=1)
     vbar = float(v[act].mean()) if act.any() else float(v.mean())
     rate = evt_area * vbar * float(params.dt) / (4.0 * float(geo.volume))
-    est = int(1.5 * rate * N_shard)
+    if (
+        kernel_cast_ok(geo)
+        and btab is not None
+        and dkern_active(geo, btab, params, mat, N_shard) is not None
+    ):
+        # in-kernel diffuse path: only the Bernoulli's SPECULAR winners
+        # (plus 3+-bounce chains and out-of-range lanes) export. The
+        # kernel's effective specularity is ZERO where a mode has no
+        # correspondence partner (the corr bitmask row), exactly the
+        # corr-zeroed table the host stash holds — flux-weight it over
+        # each row's incident distribution. +0.15 covers deep chains and
+        # estimate noise; the driver's storm adaptation remains the
+        # safety net.
+        host = btab._host
+        spec = host["specularity"]  # (NU, M), zeroed where corr < 0
+        normals = host["u_normals"]  # (NU, 3)
+        v3 = np.asarray(mat.omega_vel)[:, 1:4].astype(np.float64)
+        p_max = 0.0
+        for r in range(normals.shape[0]):
+            dest = np.maximum(v3 @ normals[r], 0.0)
+            tot = dest.sum()
+            if tot > 0:
+                p_max = max(p_max, float((dest * spec[r]).sum() / tot))
+        frac = min(1.0, p_max + 0.15)
+        floor = max(params.inj_cap, N_shard // 128)
+        est = int(rate * N_shard * frac)
+        return int(np.clip(est, floor, max(floor, N_shard // 8)))
+    est = int(rate * N_shard)
     return int(np.clip(est, floor, max(floor, N_shard // 8)))
 
 
@@ -236,22 +356,44 @@ def v2_fallback_reason(geo: DeviceGeometry, params: SimParams) -> str | None:
     return "no TPU backend attached (v1 XLA runs on CPU)"
 
 
+def _is_kmodel(params) -> bool:
+    return params.scat_model in ("k", "wavevector", "wave_vector")
+
+
+def kmodel_degen_split(btab, corr: jax.Array, key: jax.Array) -> jax.Array:
+    """The reference's degenerate-branch energy split for k-model SPECULAR
+    reflections (classes/Population.py:1017-1040, select_reflected_modes
+    :941-988): with probability 1/2 the outgoing mode swaps to its
+    equal-frequency partner branch. The in-kernel mirror cache PRE-DRAWS
+    this at cache-FILL time (injection / event re-entry / init): the next
+    reflection's marginal is exactly 50/50 and successive reflections
+    alternate through the cached pair (mode <-> partner), which the
+    energy-degenerate observables cannot distinguish from per-event
+    redraws (equal omega; only the branch velocity differs, re-randomised
+    at every RE-fill). Lanes whose events still ride the narrow machinery
+    get the ordinary per-event draw there (sim/cascade.py)."""
+    partner = btab.degen_partner[jnp.clip(corr, 0, btab.degen_partner.shape[0] - 1)]
+    u = jax.random.uniform(key, corr.shape)
+    return jnp.where((corr >= 0) & (partner >= 0) & (u >= 0.5), partner, corr)
+
+
 def mirror_eligible(geo: DeviceGeometry, btab, params: SimParams, mat=None) -> bool:
-    """In-kernel specular fast path: velocity scattering model, at least one
-    rough facet, every rough row sharing ONE correspondence table (opposite-
-    normal walls of the same plane family mirror identically), and
-    specularity exactly 1 wherever a correspondence exists (eta = 0, Ziman
-    p = 1 — the reference treats such walls as fully specular,
-    classes/Population.py:941-971). Reflections then resolve inside the
-    drift kernel as a cached-mirror register swap; only multi-bounce chains
-    and no-correspondence lanes reach the narrow event machinery, so the
-    event buffer shrinks ~25x (sim/fused.py EVT_CAP default)."""
+    """In-kernel specular fast path: at least one rough facet, every rough
+    row sharing ONE correspondence table (opposite-normal walls of the same
+    plane family mirror identically), and specularity exactly 1 wherever a
+    correspondence exists (eta = 0, Ziman p = 1 — the reference treats such
+    walls as fully specular, classes/Population.py:941-971). Reflections
+    then resolve inside the drift kernel as a cached-mirror register swap;
+    only multi-bounce chains and no-correspondence lanes reach the narrow
+    event machinery, so the event buffer shrinks ~25x (sim/fused.py EVT_CAP
+    default). Holds for BOTH scattering models: the k (wavevector) model's
+    correspondence table (classes/Population.py:1058-1239) is just as
+    static, and its degenerate-branch split is pre-drawn at cache-fill time
+    (kmodel_degen_split)."""
     import numpy as np
 
     from nanokappa_tpu.sim.boundary_tables import combined_mirror_rows
 
-    if params.scat_model in ("k", "wavevector", "wave_vector"):
-        return False
     if btab is None or mat is None or int(btab.n_rough) == 0:
         return False
     if not kernel_cast_ok(geo):
@@ -397,7 +539,7 @@ def _mirror_assemble(mat, mode, corr, m_omega, m_vel, sv, T_sv):
     return mrows, tau_a
 
 
-def _mirror_rows(btab, mat, rows, T_sv, geo, params, sv=None):
+def _mirror_rows(btab, mat, rows, T_sv, geo, params, sv=None, split_key=None):
     """Specular-mirror cache rows for mode-changed particle rows
     (narrow-machinery outputs): one row gather from the combined wall table
     ([p, corr, omega[corr], v[corr]]) + _mirror_assemble. Injections skip
@@ -418,8 +560,16 @@ def _mirror_rows(btab, mat, rows, T_sv, geo, params, sv=None):
     corr = jax.lax.bitcast_convert_type(sc[:, 1], jnp.int32)
     if sv is None:
         sv = subvol_id(geo, rows[:, C_POS])
+    if split_key is not None:
+        # k-model degenerate-branch split, pre-drawn at cache fill
+        # (kmodel_degen_split docstring)
+        corr = kmodel_degen_split(btab, corr, split_key)
+        ov_e = mat.omega_vel[jnp.clip(corr, 0, M - 1)]
+        m_om, m_v = ov_e[:, 0], ov_e[:, 1:4]
+    else:
+        m_om, m_v = sc[:, 2], sc[:, 3:6]
     return _mirror_assemble(
-        mat, jnp.clip(mode, 0, M - 1), corr, sc[:, 2], sc[:, 3:6], sv, T_sv
+        mat, jnp.clip(mode, 0, M - 1), corr, m_om, m_v, sv, T_sv
     )
 
 
@@ -438,12 +588,35 @@ def make_step_v2(
     interpret = jax.default_backend() == "cpu" or FORCE_INTERPRET
     kernel_cast = kernel_cast_ok(geo)
     use_mirror = mirror_eligible(geo, btab, params, mat)
+    N_shard_b = params.n_cap // max(1, params.n_shards)
+    dpool = dkern_active(geo, btab, params, mat, N_shard_b)
+    use_dkern = dpool is not None
+    if use_dkern:
+        dk_facets = _dkern_facet_tables(geo, btab)
+        # per-mode derived rows 16/17 of the dkern pool: [|k|^2,
+        # corr-existence bitmask] — refilled wherever the narrow machinery
+        # changes a lane's mode (ONE (E, 2) row gather)
+        dk2tab = dkern_mode_rows(btab, mat)
     # SLIM mirror cache (18-row combined pool): partner mode id + main tau
     # slope only — exact when the correspondence is the crystal-symmetry
     # mirror on one axis-aligned wall family (boundary_tables.slim_mirror_axis)
     from nanokappa_tpu.sim.boundary_tables import slim_mirror_axis
 
-    slim_axis = slim_mirror_axis(geo, btab, mat) if use_mirror else None
+    import numpy as _np
+
+    # k-model WITH degenerate branches: the cache-fill pre-draws the 50/50
+    # partner split (kmodel_degen_split) — the partner is then not always
+    # the exact crystal mirror, so the SLIM cache's bitwise-equality gate
+    # does not apply
+    kdegen = (
+        use_mirror
+        and _is_kmodel(params)
+        and bool(int(_np.max(_np.asarray(btab.degen_partner))) >= 0)
+    )
+    slim_axis = (
+        slim_mirror_axis(geo, btab, mat)
+        if (use_mirror and not kdegen) else None
+    )
     slim = slim_axis is not None
     # slope-form lifetime clamp range (one host sync at build time)
     import numpy as _np
@@ -477,6 +650,22 @@ def make_step_v2(
             axis=-1,
         )  # (R, M, 10) full / (R, M, 6) slim
         rtab = dataclasses.replace(rtab, inj_props=jnp.asarray(_ext))
+    if use_dkern and rtab.n_reservoirs > 0:
+        # injections carry their mode's [|k|^2, corr bitmask] as columns
+        # 5-6 of the injection table (pool rows 16-17) — same
+        # no-second-gather trick as the mirror correspondence columns above
+        _d2 = _np.asarray(dk2tab)  # (M, 2)
+        _ip = _np.asarray(rtab.inj_props)  # (R, M, 5)
+        _ext = _np.concatenate(
+            [
+                _ip,
+                _np.broadcast_to(
+                    _d2[None], (_ip.shape[0],) + _d2.shape
+                ),
+            ],
+            axis=-1,
+        )  # (R, M, 7)
+        rtab = dataclasses.replace(rtab, inj_props=jnp.asarray(_ext))
 
     if axis_name is None:
         psum = lambda x: x  # noqa: E731
@@ -503,7 +692,7 @@ def make_step_v2(
     SV = geo.n_subvols
     evt_default_build = autosize_evt_cap(
         geo, mat, params, use_mirror,
-        params.n_cap // max(1, params.n_shards),
+        params.n_cap // max(1, params.n_shards), btab=btab,
     )
 
     def step(state: SimState, _=None):
@@ -514,7 +703,7 @@ def make_step_v2(
         # On the mirror fast path the pool rides COMBINED: (24, NR, L)
         # with the specular-mirror cache as rows 16..23 — one block spec,
         # one append window, one compaction stream for both halves.
-        CW = 18 if slim else (24 if use_mirror else 16)
+        CW = 18 if (slim or use_dkern) else (24 if use_mirror else 16)
         plain_layout = state.packed.ndim == 2
         if plain_layout:
             N = state.packed.shape[0]
@@ -532,6 +721,18 @@ def make_step_v2(
                     [pool3, mside.T.reshape(CW - 16, N // L, L)], axis=0
                 )
                 mirror3 = None
+            elif use_dkern:
+                # rows 16-17 = [|k|^2, corr bitmask] of each lane's mode,
+                # derived fresh (one N-wide small-table gather per
+                # make_step call — the scan harness does this once per
+                # run() boundary instead)
+                dcols = dk2tab[
+                    jnp.clip(state.mode, 0, dk2tab.shape[0] - 1)
+                ]
+                pool3 = jnp.concatenate(
+                    [pool3, dcols.T.reshape(2, N // L, L)], axis=0
+                )
+                mirror3 = state.mirror
             else:
                 mirror3 = state.mirror
         else:
@@ -610,15 +811,34 @@ def make_step_v2(
                     )  # [corr bits, shared slope b]
                 else:
                     corr_inj = _bc_i32(inj_props[:, 5])
+                    if kdegen:
+                        # k-model: pre-draw the degenerate-branch split and
+                        # regather the EFFECTIVE partner's properties
+                        corr_inj = kmodel_degen_split(
+                            btab, corr_inj,
+                            jax.random.fold_in(k_inj, 0x5EED),
+                        )
+                        ov_i = mat.omega_vel[
+                            jnp.clip(corr_inj, 0, mat.tau.shape[1] - 1)
+                        ]
+                        m_om_i, m_v_i = ov_i[:, 0], ov_i[:, 1:4]
+                    else:
+                        m_om_i, m_v_i = inj_props[:, 6], inj_props[:, 7:10]
                     mrows_inj, tau_a_inj = _mirror_assemble(
-                        mat, mode_inj, corr_inj, inj_props[:, 6],
-                        inj_props[:, 7:10], sv_inj, state.T_sv,
+                        mat, mode_inj, corr_inj, m_om_i, m_v_i,
+                        sv_inj, state.T_sv,
                     )
                     # slope form: C_TAU carries the intercept (X_TAUB the
                     # slope)
                     inj_rows = inj_rows.at[:, C_TAU].set(tau_a_inj)
                 # combined pool: ONE window appends particle + mirror rows
                 inj_rows = jnp.concatenate([inj_rows, mrows_inj], axis=1)
+            if use_dkern:
+                # [|k|^2, corr bitmask] columns ride the already-gathered
+                # injection-table row (pool rows 16-17)
+                inj_rows = jnp.concatenate(
+                    [inj_rows, inj_props[:, 5:7]], axis=1
+                )
             if not kernel_cast:
                 # pre-cast at buffer width (the kernel cannot): the Pallas
                 # large-mesh kernel / XLA scan via the raycast dispatch.
@@ -651,11 +871,39 @@ def make_step_v2(
         # ONE global buffer + subvolume binning of every lane that stays.
         # Exported lanes leave the pool (marked dead) — their results
         # re-enter by appending at the tail below, so NO merge pass exists.
+        if use_dkern:
+            # per-step presample-block offset and PRNG seed: mixed with the
+            # shard index and the run key so shards and independent runs
+            # consume decorrelated presample streams (sim/diffuse_pool.py
+            # 'Statistics')
+            kraw = state.key
+            if kraw.dtype != jnp.uint32:
+                kraw = jax.random.key_data(kraw)
+            kd0 = jax.lax.bitcast_convert_type(
+                kraw.reshape(-1)[-1], jnp.int32
+            )
+            dk_off = (
+                state.step * dpool.stride
+                + jnp.asarray(shard_idx(), jnp.int32) * 17
+                + (kd0 & 0x7FFF)
+            ) % dpool.nb
+            dk_seed = (
+                state.step * jnp.int32(1000003)
+                + jnp.asarray(shard_idx(), jnp.int32) * jnp.int32(7919)
+                + kd0
+            )
+            dk = dict(
+                pool=dpool, window=dpool.window, off=dk_off, seed=dk_seed,
+                **dk_facets,
+            )
+        else:
+            dk = None
         (pool3_d, evt_buf, ecnt, _acnt, starts_c, ecnt_c, kledger,
          kbins) = drift_megastep(
             pool3, state.T_sv, state.step > 0, geo, params,
             ecap=EVT_CAP, interpret=interpret, vma=vary,
             export_rows=use_mirror,
+            dk=dk,
             # per-tile export window: 256 covers the measured tail-tile
             # clustering (event survivors re-enter at the pool tail; max
             # per-tile pend observed ~23 at 1e7) — widening to 1024 changed
@@ -702,8 +950,13 @@ def make_step_v2(
             evt_idx = evt_buf[:EVT_CAP]
             vbuf = (evt_idx < N) & seg_valid
             idx_c = jnp.minimum(evt_idx, N - 1)
+            # gather only the 16 base rows the machinery consumes: the
+            # tile-aligned (16, N) view keeps the column gather on its fast
+            # path (a 17/18-tall gather measured 4x slower — ragged
+            # sublane tiles), and the dkern derived rows are rebuilt from
+            # the mode table at append time anyway
             rows = jnp.take(
-                pool3_d.reshape(C, N), idx_c, axis=1, mode="clip"
+                pool3_d.reshape(C, N)[:16], idx_c, axis=1, mode="clip"
             ).T
         rows_out, mledger, lost_stuck, lost_def, frozen2 = run_event_buffer(
             rows, vbuf, geo, mat, btab, params, k_casc, state.T_sv, R8,
@@ -713,7 +966,11 @@ def make_step_v2(
             # (0 survivors in 16x26.5k wire trials), so rounds 2+ run at
             # E//16 width; overflow freezes one step and the driver's storm
             # adaptation grows evt_cap (and this width with it).
-            evt2_cap=None if use_mirror else EVT_CAP // 16,
+            # On the in-kernel-diffuse path the buffer is mostly specular
+            # lanes whose reflection can chain — rounds 2+ get a wider E/8.
+            evt2_cap=None if use_mirror else (
+                EVT_CAP // 8 if use_dkern else EVT_CAP // 16
+            ),
         )
 
         # 4. narrow-stage binning of the event rows (their end-of-step
@@ -746,6 +1003,17 @@ def make_step_v2(
         # for skipping an EVT_CAP-wide compaction + 16-row gather
         # (~0.17 ms/step at N=1.25e6)
         rows_out = rows_out.at[:, C_SV].set(_bc_f32(sv_e))
+        if use_dkern:
+            # refresh the [|k|^2, corr bitmask] rows for the (possibly
+            # mode-changed) event survivors — one small 2-col row gather
+            from nanokappa_tpu.sim.state import C_MODE as _CM, _bc_i32
+
+            mode_e = jnp.clip(
+                _bc_i32(rows_out[:, _CM]), 0, dk2tab.shape[0] - 1
+            )
+            rows_out = jnp.concatenate(
+                [rows_out, dk2tab[mode_e]], axis=1
+            )
         if use_mirror:
             if slim:
                 from nanokappa_tpu.sim.boundary_tables import (
@@ -769,6 +1037,10 @@ def make_step_v2(
             else:
                 mrows_out, tau_a_e = _mirror_rows(
                     btab, mat, rows_out, state.T_sv, geo, params, sv=sv_e,
+                    split_key=(
+                        jax.random.fold_in(k_casc, 0x5EED)
+                        if kdegen else None
+                    ),
                 )
                 # slope form: replace the narrow machinery's full-tau
                 # values with the intercepts of the lanes' (possibly new)
@@ -889,7 +1161,8 @@ def _expand_slim_mirror(flat: jax.Array, flip_axis: int) -> jax.Array:
 
 
 def to_transposed(
-    state: SimState, combined: bool = False, slim: bool = False
+    state: SimState, combined: bool = False, slim: bool = False,
+    extra: jax.Array | None = None,
 ) -> SimState:
     """Enter the v2 scan convention: state.packed (and the mirror cache) ->
     the kernel-native 3-D layout (lane p of attribute c at
@@ -909,6 +1182,18 @@ def to_transposed(
     N = state.packed.shape[0]
     L = tile_width(N) // 8
     packed = state.packed.T.reshape(16, N // L, L)
+    if extra is not None:
+        # in-kernel-diffuse combined layout (C = 18): rows 16-17 carry the
+        # mode-derived [|k|^2, corr bitmask]; the mirror leaf rides through
+        # the scan untouched (it is meaningless on this path)
+        assert not combined and not slim
+        K = extra.shape[1]
+        return dataclasses.replace(
+            state,
+            packed=jnp.concatenate(
+                [packed, extra.T.reshape(K, N // L, L)], axis=0
+            ),
+        )
     if slim:
         return dataclasses.replace(
             state,
@@ -945,8 +1230,11 @@ def from_transposed(state: SimState, flip_axis: int | None = None) -> SimState:
     _expand_slim_mirror — pass the slim gate's `flip_axis`)."""
     C, NR, L = state.packed.shape
     flat = state.packed.reshape(C, NR * L)
+    if C == 18 and flip_axis is None:
+        # in-kernel-diffuse layout: drop the derived [|k|^2, corr bitmask]
+        # rows; the mirror leaf was carried untouched
+        return dataclasses.replace(state, packed=flat[:16].T)
     if C == 18:
-        assert flip_axis is not None
         return dataclasses.replace(
             state,
             packed=flat[:16].T,

@@ -451,13 +451,23 @@ def init_state(
             sc = np.zeros((M, 8), np.float32)
             sc[:, 1] = np.full(M, -1, np.int32).view(np.float32)
         cm = sc[:, 1].view(np.int32)[modes]
+        if params.scat_model in ("k", "wavevector", "wave_vector"):
+            # k-model degenerate-branch split, pre-drawn at cache fill
+            # (sim/fused.py kmodel_degen_split; reference
+            # classes/Population.py:1017-1040)
+            dp = np.asarray(btab.degen_partner)
+            part = dp[np.clip(cm, 0, M - 1)]
+            u_sp = rng.random(cm.shape[0])
+            cm = np.where((cm >= 0) & (part >= 0) & (u_sp >= 0.5), part, cm)
         has = cm >= 0
         cmc = np.clip(cm, 0, M - 1)
+        m_omega_c = mat.omega.reshape(-1)[cmc].astype(np.float32)
+        m_vel_c = mat.group_vel.reshape(-1, 3)[cmc].astype(np.float32)
         tau_m = (1 - wt) * tau_flat[ti, cmc] + wt * tau_flat[ti + 1, cmc]
         mm = np.zeros((n_p, M_COLS), dtype=np.float32)
         mm[:, X_MODE] = cm.astype(np.int32).view(np.float32)
-        mm[:, X_OMEGA] = np.where(has, sc[modes, 2], 0.0)
-        mm[:, X_VEL] = np.where(has[:, None], sc[modes, 3:6], 0.0)
+        mm[:, X_OMEGA] = np.where(has, m_omega_c, 0.0)
+        mm[:, X_VEL] = np.where(has[:, None], m_vel_c, 0.0)
         if use_slope:
             # slope-form lifetimes (see X_TAU/X_TAUB docs + fused.py):
             # tau(T) = a + b*T, exactly the table lerp on the particle's

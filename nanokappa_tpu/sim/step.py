@@ -298,13 +298,25 @@ def build_step(geo, mat, btab, rtab, params, n_inner: int = 1, n_outer: int = 1)
         for v in _array_fields(obj).values()
     )
     big_tables = table_bytes > _BIG_CONST_BYTES
+    # the in-kernel-diffuse presample pool is itself hundreds of MB
+    # (sim/diffuse_pool.py): ALWAYS a parameter, so only it rides the
+    # parameterized path when the physics tables still fit as (faster)
+    # baked constants
+    from nanokappa_tpu.sim.fused import dkern_active as _dka
+
+    _dp = _dka(
+        geo, btab, params, mat, params.n_cap // max(1, params.n_shards)
+    )
+    param_objs = dict(table_objs) if big_tables else {}
+    if _dp is not None and _dp.window.nbytes > 64 * 1024 * 1024:
+        param_objs["dpool"] = _dp
 
     if is_v2:
         run_blocks = make_v2_block_runner(
             geo, mat, btab, params, step, n_inner, n_outer
         )
-        if big_tables:
-            return _parameterize_tables(run_blocks, table_objs)
+        if param_objs:
+            return _parameterize_tables(run_blocks, param_objs)
         # donate the carried state: without donation XLA must preserve the
         # 126 MB input pool across the call (an extra copy + 2x the pool's
         # HBM footprint per run)
@@ -326,6 +338,7 @@ def build_step(geo, mat, btab, rtab, params, n_inner: int = 1, n_outer: int = 1)
             state, out = jax.lax.scan(block, state, length=n_outer)
         return state, out
 
+    # v1 never touches the diffuse pool — original behaviour
     if big_tables:
         return _parameterize_tables(run_core, table_objs)
     return jax.jit(run_core)
@@ -355,8 +368,18 @@ def make_v2_block_runner(
     interp = jax.default_backend() == "cpu" or _fused.FORCE_INTERPRET
     use_mirror = mirror_eligible(geo, btab, params, mat)
     from nanokappa_tpu.sim.boundary_tables import slim_mirror_axis
+    from nanokappa_tpu.sim.fused import dkern_active
 
     slim_axis = slim_mirror_axis(geo, btab, mat) if use_mirror else None
+    _N_shard0 = params.n_cap // max(1, params.n_shards)
+    use_dkern = dkern_active(geo, btab, params, mat, _N_shard0) is not None
+    if use_dkern:
+        # mode-derived pool rows 16-17 ([|k|^2, corr bitmask]) for the
+        # C = 18 dkern layout (one N-wide small-table gather per run()
+        # boundary; sim/fused.py to_transposed)
+        from nanokappa_tpu.sim.fused import dkern_mode_rows
+
+        dk2tab_r = dkern_mode_rows(btab, mat)
 
     # Tail-room invariant: each step appends up to EVT_CAP + inj_cap rows
     # at the pool tail (event re-entry + injections, sim/fused.py) and
@@ -366,7 +389,9 @@ def make_v2_block_runner(
     N_shard = params.n_cap // max(1, params.n_shards)
     from nanokappa_tpu.sim.fused import autosize_evt_cap
 
-    evt_default = autosize_evt_cap(geo, mat, params, use_mirror, N_shard)
+    evt_default = autosize_evt_cap(
+        geo, mat, params, use_mirror, N_shard, btab=btab
+    )
     evt_eff = -(-(params.evt_cap or evt_default) // 128) * 128
     per_step = evt_eff + params.inj_cap
     m = max(1, min(n_inner, (N_shard // 5) // max(1, per_step)))
@@ -418,7 +443,11 @@ def make_v2_block_runner(
 
     def run_blocks(state: SimState):
         stateT = to_transposed(
-            state, combined=use_mirror, slim=slim_axis is not None
+            state, combined=use_mirror, slim=slim_axis is not None,
+            extra=(
+                dk2tab_r[jnp.clip(state.mode, 0, dk2tab_r.shape[0] - 1)]
+                if use_dkern else None
+            ),
         )
         # ONE unconditional compaction at run entry: it establishes the
         # tail-pointer semantics of free_count[0] (init_state spreads

@@ -172,3 +172,46 @@ def test_v2_triangle_cast_on_chip():
                 np.asarray(a.n_leaving), np.asarray(b.n_leaving))
         assert int(b.lost) == 0 and int(b.frozen) == 0
         assert abs(int(a.N_p) - int(b.N_p)) < 30
+
+
+def test_dkern_diffuse_on_chip_matches_machinery():
+    """Mosaic-compiled IN-KERNEL diffuse reflection (ops/megastep.py dkern
+    branch: hardware PRNG Bernoulli against the in-register Ziman
+    specularity + presample-window mode replacement) against the exact
+    narrow-machinery path (NANOKAPPA_NO_DKERN=1): the two draw different
+    random streams, so equivalence is STATISTICAL — time-averaged subvolume
+    temperature and axial-flux profiles on a diffuse-wall nanowire must
+    agree within Monte Carlo noise, with a quiet frozen/lost ledger on
+    both sides."""
+    import os
+
+    from tests.test_diffuse_kernel import _wire_setup
+    from nanokappa_tpu.sim.step import build_step
+
+    profs = {}
+    for mode in ("on", "off"):
+        if mode == "off":
+            os.environ["NANOKAPPA_NO_DKERN"] = "1"
+        try:
+            (mat, dom, geo, btab, rtab, params, state,
+             n_p) = _wire_setup(n_particles=40000)
+            run = build_step(
+                geo, mat.device_tables(), btab, rtab, params,
+                n_inner=10, n_outer=1,
+            )
+            Ts, Ps = [], []
+            for i in range(12):
+                state, out = run(state)
+                if i >= 4:
+                    Ts.append(np.asarray(out.T_sv))
+                    Ps.append(np.asarray(out.phi_sv)[:, 2])
+            profs[mode] = (np.mean(Ts, axis=0), np.mean(Ps, axis=0))
+            assert int(np.asarray(state.frozen)) < n_p // 20
+            assert int(np.asarray(state.lost).sum()) < n_p // 100
+        finally:
+            os.environ.pop("NANOKAPPA_NO_DKERN", None)
+    T_on, P_on = profs["on"]
+    T_off, P_off = profs["off"]
+    assert np.max(np.abs(T_on - T_off)) < 0.5, (T_on, T_off)
+    denom = max(np.abs(P_off).max(), 1e-3)
+    assert np.max(np.abs(P_on - P_off)) / denom < 0.25, (P_on, P_off)
